@@ -1,0 +1,28 @@
+"""dff — a PySpark-native schema + constraint validation engine.
+
+Re-expresses the rule-DAG semantics of the reference accelerator
+(southworks/databricks-accelerator-fraud-orchestration, read at /root/reference) as
+topologically-ordered, vectorized Catalyst expressions over DataFrames:
+
+- ``dff.ruleset``    DMN / JSON rule-spec parsing -> Constraint DAG (topo order,
+                     cycle check).  Reference: 02_dff_orchestration.py:68-144.
+- ``dff.compiler``   DAG -> a single chained ``coalesce(when(...))`` verdict Column
+                     (first-match-wins at a sensitivity threshold).
+                     Reference: 02_dff_orchestration.py:215-250.
+- ``dff.stats``      one-pass, skew-aware (salted) per-column statistics.
+- ``dff.uniqueness`` hash-partitioned duplicate detection.
+- ``dff.referential`` broadcast left-anti/semi referential checks.
+- ``dff.drift``      PSI + two-sample KS distribution drift vs a baseline snapshot.
+- ``dff.checkpoint`` per-partition lineage + resume planning.
+- ``dff.runner``     orchestration: validate -> verdicts/violations/metrics.
+- ``dff.sources``    deterministic synthetic source-code table generator.
+- ``dff.textops``    language-ID, quality scoring, token counting, fingerprinting.
+- ``dff.dedup``      exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding dedup.
+- ``dff.similarity`` brute-force and LSH/IVF approximate nearest-neighbor search.
+- ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
+
+Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
+appears only inside Arrow-batched pandas UDFs. No per-row Python anywhere.
+"""
+
+__version__ = "0.1.0"
