@@ -1,0 +1,92 @@
+"""Per-partition lineage + resume planning (SURVEY.md §7.1 M5, FIXTURES.md F4).
+
+The checkpoint table carries one row per validated partition:
+``(snapshot_id, partition_spec, partition_id, dag_version, rows, violations,
+verdict, metrics, completed_at)``.  On restart the planner anti-joins planned
+partitions against completed ones, so finished partitions are never
+re-validated and reruns are idempotent.
+
+Storage: in production this is an Iceberg table
+(``df.writeTo(tbl).append()`` — atomic snapshot commits give exactly-once
+checkpoint rows); the sandbox has no Iceberg catalog, so the store is
+parquet-append with last-writer-wins dedup on read, which preserves the
+resume semantics (duplicate checkpoint rows collapse to the latest).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("partition_spec", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("dag_version", T.StringType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("violations", T.LongType()),
+        T.StructField("verdict", T.StringType()),          # "pass" | "fail"
+        T.StructField("metrics", T.MapType(T.StringType(), T.DoubleType())),
+        T.StructField("completed_at", T.TimestampType()),
+    ]
+)
+
+
+class CheckpointStore:
+    """Parquet-backed lineage table with an Iceberg-shaped API."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+        # last-writer-wins per (snapshot, partition, dag_version)
+        w = Window.partitionBy("snapshot_id", "partition_id", "dag_version").orderBy(
+            F.col("completed_at").desc()
+        )
+        return df.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        ).drop("__rn")
+
+    def append(self, df: DataFrame) -> None:
+        df.select(*[f.name for f in CHECKPOINT_SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def completed_partitions(self, snapshot_id: str, dag_version: str) -> DataFrame:
+        return (
+            self.read()
+            .where(
+                (F.col("snapshot_id") == snapshot_id)
+                & (F.col("dag_version") == dag_version)
+            )
+            .select("partition_id")
+            .distinct()
+        )
+
+
+def plan_pending(
+    df: DataFrame,
+    part_col: str,
+    store: CheckpointStore,
+    snapshot_id: str,
+    dag_version: str,
+) -> DataFrame:
+    """Filter the input to partitions not yet checkpointed.
+
+    The completed set is tiny (one id per partition) — broadcast it so the
+    anti join is map-side and prunes before any heavy work.
+    """
+    completed = store.completed_partitions(snapshot_id, dag_version)
+    return df.join(
+        F.broadcast(completed.withColumnRenamed("partition_id", part_col)),
+        [part_col],
+        "left_anti",
+    )

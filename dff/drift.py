@@ -1,0 +1,189 @@
+"""Distribution-drift checks: PSI + two-sample KS vs a baseline snapshot
+(SURVEY.md §2.6 / §7.1 M4).
+
+Design for 10^12 rows: a single aggregation pass computes ALL histogram
+buckets for ALL tracked columns as ``sum(case when ...)`` expressions —
+no per-column scans, no global sort.  The KS statistic is computed from the
+binned empirical CDFs (shared bin edges with PSI), deliberately avoiding
+``cume_dist`` over a global ``Window.orderBy`` which would single-task the
+table (SURVEY.md §7.3).  The final small-statistics math (PSI/KS over a few
+dozen bucket counts per partition) runs in an Arrow-batched
+``applyInPandas`` — the only Python in the path, over kilobytes of data.
+
+Exact KS is also provided for small-scale test verification.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class NumericBins:
+    column: str
+    edges: tuple[float, ...]          # ascending interior edges
+    expr: str | None = None           # optional SQL expr instead of raw column
+
+    @property
+    def n_buckets(self) -> int:       # underflow + len(edges)-1 interior + overflow
+        return len(self.edges) + 1
+
+    def value(self) -> Column:
+        return F.expr(self.expr) if self.expr else F.col(self.column)
+
+
+@dataclass(frozen=True)
+class CategoricalBins:
+    column: str
+    categories: tuple[str, ...]       # everything else (incl. NULL) -> OTHER bucket
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.categories) + 1
+
+    def value(self) -> Column:
+        return F.col(self.column)
+
+
+@dataclass
+class DriftSpec:
+    numeric: list[NumericBins] = field(default_factory=list)
+    categorical: list[CategoricalBins] = field(default_factory=list)
+
+    @property
+    def all_bins(self) -> list:
+        return [*self.numeric, *self.categorical]
+
+
+def bucket_index(bins) -> Column:
+    """0-based bucket index expression for one tracked column."""
+    v = bins.value()
+    if isinstance(bins, NumericBins):
+        # count of edges <= value; NULL -> bucket 0 (underflow) is wrong, so
+        # NULLs are excluded by the count aggregates below (when() is null).
+        idx = F.lit(0)
+        for e in bins.edges:
+            idx = idx + F.when(v >= F.lit(float(e)), 1).otherwise(0)
+        return F.when(v.isNotNull(), idx)
+    idx = F.lit(len(bins.categories))  # OTHER
+    for i, c in enumerate(bins.categories):
+        idx = F.when(v == F.lit(c), F.lit(i)).otherwise(idx)
+    return F.when(v.isNotNull(), idx)
+
+
+def histogram_exprs(spec: DriftSpec) -> list[Column]:
+    """count-per-bucket aggregate expressions for every tracked column —
+    all evaluated in ONE scan."""
+    exprs: list[Column] = []
+    for bins in spec.all_bins:
+        idx = bucket_index(bins)
+        for b in range(bins.n_buckets):
+            exprs.append(
+                F.sum(F.when(idx == b, 1).otherwise(0)).alias(
+                    f"h__{bins.column}__{b}"
+                )
+            )
+    return exprs
+
+
+def snapshot(df: DataFrame, spec: DriftSpec) -> dict[str, np.ndarray]:
+    """Whole-table baseline histogram: {column: bucket_counts}."""
+    row = df.agg(*histogram_exprs(spec)).first().asDict()
+    return {
+        bins.column: np.array(
+            [row[f"h__{bins.column}__{b}"] or 0 for b in range(bins.n_buckets)],
+            dtype=np.float64,
+        )
+        for bins in spec.all_bins
+    }
+
+
+def psi(expected: np.ndarray, actual: np.ndarray, eps: float = 1e-6) -> float:
+    """Population Stability Index with epsilon smoothing."""
+    p = expected / max(expected.sum(), 1.0)
+    q = actual / max(actual.sum(), 1.0)
+    p = np.clip(p, eps, None)
+    q = np.clip(q, eps, None)
+    p = p / p.sum()
+    q = q / q.sum()
+    return float(np.sum((q - p) * np.log(q / p)))
+
+
+def ks_binned(expected: np.ndarray, actual: np.ndarray) -> float:
+    """Two-sample KS statistic from binned CDFs (upper bound on exact KS
+    error is one bin of probability mass)."""
+    p = expected / max(expected.sum(), 1.0)
+    q = actual / max(actual.sum(), 1.0)
+    return float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+
+
+def ks_exact(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact two-sample KS for small test arrays (oracle use only)."""
+    allv = np.sort(np.concatenate([a, b]))
+    cdf_a = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    cdf_b = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    return float(np.max(np.abs(cdf_a - cdf_b)))
+
+
+DRIFT_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("psi", T.DoubleType()),
+        T.StructField("ks", T.DoubleType()),
+    ]
+)
+
+
+def drift_by_partition(
+    df: DataFrame,
+    part_col: str,
+    spec: DriftSpec,
+    baseline: dict[str, np.ndarray],
+) -> DataFrame:
+    """Per-partition PSI/KS vs the baseline snapshot.
+
+    One shuffle: ``groupBy(part_col)`` over pre-aggregated bucket counts
+    (map-side combine makes the shuffled volume ``n_parts x n_buckets``
+    longs, independent of row count).  The PSI/KS arithmetic runs in
+    ``applyInPandas`` over those tiny per-partition rows.
+    """
+    hist = df.groupBy(part_col).agg(*histogram_exprs(spec))
+    bins_meta = [(b.column, b.n_buckets) for b in spec.all_bins]
+    baseline_plain = {k: v.tolist() for k, v in baseline.items()}
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            for col, n_b in bins_meta:
+                counts = np.array(
+                    [row[f"h__{col}__{b}"] or 0 for b in range(n_b)],
+                    dtype=np.float64,
+                )
+                base = np.array(baseline_plain[col], dtype=np.float64)
+                out.append(
+                    {
+                        "part_id": int(row[part_col]),
+                        "column": col,
+                        "psi": psi(base, counts),
+                        "ks": ks_binned(base, counts),
+                    }
+                )
+        return pd.DataFrame(out, columns=["part_id", "column", "psi", "ks"])
+
+    return hist.groupBy(part_col).applyInPandas(compute, DRIFT_RESULT_SCHEMA)
+
+
+def content_length_bins(max_log2: int = 24) -> NumericBins:
+    """Log2-spaced edges for content length (bytes 1 .. 16 MiB)."""
+    return NumericBins(
+        column="content_length",
+        edges=tuple(float(2**i) for i in range(0, max_log2, 2)),
+        expr="length(content)",
+    )

@@ -1,0 +1,216 @@
+"""Validation orchestration: rule DAG + table-level constraints ->
+verdicts / violations / per-partition metrics / checkpoint rows.
+
+This is our analog of the reference's end-to-end flow (SURVEY.md §3.1-3.2)
+with the driver round-trip eliminated: one lineage
+``read -> rule select (+ anti joins, + stat aggs) -> verdicts / violations /
+checkpoint`` where control crosses driver->executors once per action.
+
+Scan budget per validated batch (at 10^12 rows the scans dominate):
+  1. row-rule pass + uniqueness window  (one shuffle on the unique keys)
+  2. referential anti joins             (map-side, dims broadcast)
+  3. drift histogram agg                (map-side combine, tiny shuffle)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointStore, plan_pending
+from .compiler import ScorerRegistry, compile_ruleset
+from .drift import DriftSpec, drift_by_partition
+from .referential import orphan_rows
+from .ruleset import RuleSet
+from .uniqueness import uniqueness_violations
+
+
+@dataclass
+class ReferentialCheck:
+    dim: DataFrame
+    on: list[str]
+    constraint_id: str
+
+
+@dataclass
+class ValidationConfig:
+    ruleset: RuleSet
+    scorers: ScorerRegistry | None = None
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    part_col: str = "part_id"
+    unique_keys: tuple[str, ...] | None = ("repo", "path", "commit")
+    referential: list[ReferentialCheck] = field(default_factory=list)
+    drift_spec: DriftSpec | None = None
+    drift_baseline: dict[str, np.ndarray] | None = None
+    psi_threshold: float = 0.2
+    ks_threshold: float = 0.15
+    snapshot_id: str = "snapshot-0"
+    partition_spec: str = "bucket(part_id)"
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame           # key cols + part + verdict_id + verdict
+    violations: DataFrame         # key cols + part + constraint_id + detail
+    partition_metrics: DataFrame  # per-partition rollup incl. pass/fail
+    drift: DataFrame | None      # per-partition per-column psi/ks (if configured)
+
+
+class ValidationRunner:
+    def __init__(self, config: ValidationConfig):
+        self.config = config
+
+    # -- row-level -----------------------------------------------------
+    def row_verdicts(self, df: DataFrame) -> DataFrame:
+        cfg = self.config
+        compiled = compile_ruleset(cfg.ruleset, df, cfg.scorers)
+        return df.select(
+            *cfg.key_cols,
+            cfg.part_col,
+            compiled.verdict_id.alias("verdict_id"),
+            compiled.verdict.alias("verdict"),
+        )
+
+    # -- violations ----------------------------------------------------
+    def violations(self, df: DataFrame, verdicts: DataFrame) -> DataFrame:
+        cfg = self.config
+        key_sel = [*cfg.key_cols, cfg.part_col]
+        parts = [
+            verdicts.where(F.col("verdict").isNotNull()).select(
+                *key_sel,
+                F.col("verdict_id").alias("constraint_id"),
+                F.col("verdict").alias("detail"),
+            )
+        ]
+        if cfg.unique_keys:
+            parts.append(
+                uniqueness_violations(
+                    df.select(*key_sel), list(cfg.unique_keys)
+                ).select(*key_sel, "constraint_id", F.lit("duplicate key").alias("detail"))
+            )
+        for check in cfg.referential:
+            parts.append(
+                orphan_rows(
+                    df.select(*key_sel, *[c for c in check.on if c not in key_sel]),
+                    check.dim,
+                    check.on,
+                    constraint_id=check.constraint_id,
+                ).select(
+                    *key_sel,
+                    "constraint_id",
+                    F.lit("missing in dimension").alias("detail"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- partition rollup ----------------------------------------------
+    def partition_metrics(
+        self,
+        df: DataFrame,
+        violations: DataFrame,
+        drift: DataFrame | None,
+    ) -> DataFrame:
+        cfg = self.config
+        part = cfg.part_col
+        rows = df.groupBy(part).agg(F.count(F.lit(1)).alias("rows"))
+        viol = (
+            violations.groupBy(part, "constraint_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy(part)
+            .agg(
+                F.sum("n").alias("violations"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("constraint_id", F.col("n").cast("double")))
+                ).alias("by_constraint"),
+            )
+        )
+        out = rows.join(viol, part, "left").fillna({"violations": 0})
+        if drift is not None:
+            dmax = drift.groupBy(F.col("part_id").alias(part)).agg(
+                F.max("psi").alias("max_psi"), F.max("ks").alias("max_ks")
+            )
+            out = out.join(dmax, part, "left")
+            drifted = (F.col("max_psi") > cfg.psi_threshold) | (
+                F.col("max_ks") > cfg.ks_threshold
+            )
+        else:
+            out = out.withColumn("max_psi", F.lit(None).cast("double")).withColumn(
+                "max_ks", F.lit(None).cast("double")
+            )
+            drifted = F.lit(False)
+        return out.withColumn(
+            "verdict",
+            F.when((F.col("violations") > 0) | drifted, F.lit("fail")).otherwise(
+                F.lit("pass")
+            ),
+        )
+
+    # -- end to end ------------------------------------------------------
+    def validate(self, df: DataFrame) -> ValidationResult:
+        cfg = self.config
+        verdicts = self.row_verdicts(df)
+        violations = self.violations(df, verdicts)
+        drift = None
+        if cfg.drift_spec is not None and cfg.drift_baseline is not None:
+            drift = drift_by_partition(
+                df, cfg.part_col, cfg.drift_spec, cfg.drift_baseline
+            )
+        metrics = self.partition_metrics(df, violations, drift)
+        return ValidationResult(verdicts, violations, metrics, drift)
+
+    def checkpoint_rows(self, metrics: DataFrame, dag_version: str) -> DataFrame:
+        cfg = self.config
+        base_metrics = F.map_from_arrays(
+            F.array(F.lit("rows"), F.lit("violations"), F.lit("max_psi"), F.lit("max_ks")),
+            F.array(
+                F.col("rows").cast("double"),
+                F.col("violations").cast("double"),
+                F.coalesce(F.col("max_psi"), F.lit(0.0)),
+                F.coalesce(F.col("max_ks"), F.lit(0.0)),
+            ),
+        )
+        merged = F.when(
+            F.col("by_constraint").isNotNull(),
+            F.map_concat(base_metrics, F.col("by_constraint")),
+        ).otherwise(base_metrics)
+        return metrics.select(
+            F.lit(cfg.snapshot_id).alias("snapshot_id"),
+            F.lit(cfg.partition_spec).alias("partition_spec"),
+            F.col(cfg.part_col).cast("int").alias("partition_id"),
+            F.lit(dag_version).alias("dag_version"),
+            F.col("rows").cast("long").alias("rows"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("verdict"),
+            merged.alias("metrics"),
+            F.current_timestamp().alias("completed_at"),
+        )
+
+    def run(
+        self,
+        df: DataFrame,
+        store: CheckpointStore,
+        violations_path: str | None = None,
+    ) -> ValidationResult | None:
+        """Resumable validation: validate only partitions without a
+        checkpoint row, write violations + checkpoint, return the batch
+        result (None if everything was already complete)."""
+        cfg = self.config
+        pending = plan_pending(
+            df, cfg.part_col, store, cfg.snapshot_id, cfg.ruleset.version
+        )
+        if pending.limit(1).count() == 0:
+            return None
+        result = self.validate(pending)
+        if violations_path:
+            # partition-grained output -> idempotent per-partition overwrite
+            result.violations.write.mode("append").partitionBy(
+                cfg.part_col
+            ).parquet(violations_path)
+        store.append(self.checkpoint_rows(result.partition_metrics, cfg.ruleset.version))
+        return result

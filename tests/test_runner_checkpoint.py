@@ -1,0 +1,119 @@
+"""End-to-end runner + resume semantics (SURVEY.md §5: resume tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dff.checkpoint import CheckpointStore, plan_pending
+from dff.drift import CategoricalBins, DriftSpec, snapshot
+from dff.ruleset import parse_json
+from dff.runner import ReferentialCheck, ValidationConfig, ValidationRunner
+from dff.sources import ALLOWED_LANGS, commits_dim, synthetic_source_files
+
+SPEC = {
+    "version": "dag-v1",
+    "sensitivity": 0.7,
+    "rules": [
+        {"id": "C_null_lang", "name": "lang is null", "requires": []},
+        {"id": "C_empty", "name": "length(content) = 0", "requires": ["C_null_lang"]},
+        {"id": "C_huge", "name": "length(content) > 10485760", "requires": ["C_empty"]},
+    ],
+}
+
+
+def make_runner(spark, df, with_drift=False, snapshot_id="snap-A"):
+    cfg = ValidationConfig(
+        ruleset=parse_json(SPEC),
+        referential=[
+            ReferentialCheck(commits_dim(spark, 100), ["repo", "commit"], "C_ref_commit"),
+        ],
+        snapshot_id=snapshot_id,
+    )
+    if with_drift:
+        cfg.drift_spec = DriftSpec(
+            categorical=[CategoricalBins("lang", tuple(ALLOWED_LANGS))]
+        )
+        cfg.drift_baseline = snapshot(
+            synthetic_source_files(spark, 5000, n_repos=100, plant_violations=False),
+            cfg.drift_spec,
+        )
+    return ValidationRunner(cfg)
+
+
+def test_validate_matches_planted(spark):
+    n = 6000
+    df = synthetic_source_files(spark, n, n_repos=100).cache()
+    runner = make_runner(spark, df)
+    result = runner.validate(df)
+
+    by_constraint = {
+        r["constraint_id"]: r["n"]
+        for r in result.violations.groupBy("constraint_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tag = lambda t: F.array_contains("planted", t)  # noqa: E731
+    assert by_constraint["C_null_lang"] == df.where(tag("null_lang")).count()
+    assert by_constraint["C_empty"] == df.where(
+        tag("empty_content") & ~tag("null_lang")
+    ).count()  # first-match: null_lang wins over empty
+    assert by_constraint["C_ref_commit"] == df.where(tag("orphan_commit")).count()
+    n_dup_groups = len([i for i in range(n) if i % 499 == 21])
+    assert by_constraint["uniqueness"] == n_dup_groups
+
+    metrics = result.partition_metrics.collect()
+    assert all(m["verdict"] in ("pass", "fail") for m in metrics)
+    total_viols = sum(m["violations"] for m in metrics)
+    assert total_viols == result.violations.count()
+    df.unpersist()
+
+
+def test_clean_table_passes(spark):
+    df = synthetic_source_files(spark, 12000, n_repos=100, plant_violations=False)
+    runner = make_runner(spark, df, with_drift=True)
+    result = runner.validate(df)
+    assert result.violations.count() == 0
+    verdicts = [m["verdict"] for m in result.partition_metrics.collect()]
+    assert verdicts and all(v == "pass" for v in verdicts)
+
+
+def test_resume_skips_completed_partitions(spark, tmp_path):
+    n = 4000
+    df = synthetic_source_files(spark, n, n_repos=100).cache()
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    runner = make_runner(spark, df, snapshot_id="snap-R")
+
+    # simulate a run killed after validating partitions 0..7
+    first_half = df.where(F.col("part_id") < 8)
+    r1 = runner.run(first_half, store, violations_path=str(tmp_path / "viol"))
+    assert r1 is not None
+    done = {r["partition_id"] for r in store.completed_partitions("snap-R", "dag-v1").collect()}
+    assert done == set(range(8))
+
+    # restart over the FULL table: completed partitions must not re-validate
+    pending = plan_pending(df, "part_id", store, "snap-R", "dag-v1")
+    pending_parts = {r["part_id"] for r in pending.select("part_id").distinct().collect()}
+    assert pending_parts.isdisjoint(done)
+
+    r2 = runner.run(df, store, violations_path=str(tmp_path / "viol"))
+    assert r2 is not None
+    assert {
+        r["part_id"] for r in r2.partition_metrics.select("part_id").collect()
+    }.isdisjoint(done)
+
+    # final state identical to a fresh full run: same violation multiset
+    full = runner.validate(df)
+    resumed = spark.read.parquet(str(tmp_path / "viol"))
+    a = sorted(
+        (r["repo"], r["path"], r["commit"], r["constraint_id"])
+        for r in resumed.select("repo", "path", "commit", "constraint_id").collect()
+    )
+    b = sorted(
+        (r["repo"], r["path"], r["commit"], r["constraint_id"])
+        for r in full.violations.select("repo", "path", "commit", "constraint_id").collect()
+    )
+    assert a == b
+
+    # third run: nothing pending
+    assert runner.run(df, store) is None
+    df.unpersist()

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dff.referential import allowed_values_violations, orphan_rows, valid_rows
+from dff.sources import ALLOWED_LANGS, commits_dim, langs_dim, synthetic_source_files
+from dff.uniqueness import dedup_exact, duplicate_key_counts, uniqueness_violations
+
+KEYS = ["repo", "path", "commit"]
+
+
+def test_duplicates_found_exactly(spark):
+    n = 4000
+    df = synthetic_source_files(spark, n, n_repos=100).cache()
+    n_dup_groups = len([i for i in range(n) if i % 499 == 21])
+    dup_keys = duplicate_key_counts(df, KEYS)
+    assert dup_keys.count() == n_dup_groups
+    assert dup_keys.agg(F.max("dup_count")).first()[0] == 2
+    # one violation row per extra occurrence
+    viols = uniqueness_violations(df, KEYS)
+    assert viols.count() == n_dup_groups
+    # dedup keeps exactly one row per key, the lowest row_id
+    deduped = dedup_exact(df, KEYS, order_by=["row_id"])
+    assert deduped.count() == n
+    kept = deduped.where(F.col("row_id") >= n).count()
+    assert kept == 0  # copies (row_id >= n) always lose to originals
+    df.unpersist()
+
+
+def test_referential_orphans_and_allowed_values(spark):
+    n = 4000
+    df = synthetic_source_files(spark, n, n_repos=100).cache()
+    commits = commits_dim(spark, n_repos=100)
+    orphans = orphan_rows(df, commits, ["repo", "commit"], constraint_id="ref_commit")
+    expected = df.where(F.array_contains("planted", "orphan_commit")).count()
+    assert orphans.count() == expected
+    assert orphans.first()["constraint_id"] == "ref_commit"
+    assert valid_rows(df, commits, ["repo", "commit"]).count() == df.count() - expected
+
+    bad = allowed_values_violations(df, "lang", ALLOWED_LANGS, "ref_lang")
+    assert bad.count() == df.where(F.array_contains("planted", "bad_lang")).count()
+
+    # broadcast anti join is actually broadcast (no shuffle of the fact side)
+    plan = orphan_rows(df, commits, ["repo", "commit"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    df.unpersist()
+
+
+def test_langs_dim_join_matches_inlist(spark):
+    df = synthetic_source_files(spark, 2000, n_repos=50)
+    via_join = orphan_rows(df.where(F.col("lang").isNotNull()), langs_dim(spark), ["lang"])
+    via_inlist = allowed_values_violations(df, "lang", ALLOWED_LANGS)
+    assert via_join.count() == via_inlist.count()
