@@ -1,0 +1,355 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point at 100 TB):
+- exact dedup is a hash groupBy — one shuffle keyed on the content hash,
+  map-side combine bounds shuffle volume by distinct docs per partition.
+- MinHash signatures are pure Catalyst expressions: one xxhash64 per
+  shingle, then ``num_hashes`` affine transforms (multiply-add mod prime)
+  per shingle via ``transform``+``array_min`` — NOT num_hashes rehashes.
+- LSH banding turns all-pairs O(n^2) into per-bucket candidate joins: only
+  rows sharing a band bucket are compared, and candidate verification uses
+  signature agreement (zip_with), never the raw text.
+- SimHash packs a 64-bit sketch via expression-level bit counting;
+  near-dups are ``bit_count(a ^ b) <= r`` within LSH buckets of the top
+  bits.
+- embedding near-dup uses random-hyperplane LSH (Arrow-batched numpy
+  matmul for the projection — the one place Python earns its keep) and
+  verifies cosine within buckets with JVM-side zip_with arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .textops import normalize_text, shingle_hashes
+
+# ---------------------------------------------------------------- exact --
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_sha, n_docs, doc_ids)."""
+    h = F.sha2(F.col(text_col), 256).alias("content_sha")
+    return (
+        df.select(h, *df.columns)
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id doc per identical content (deterministic)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# -------------------------------------------------------------- minhash --
+
+_MERSENNE_P = 4294967311  # prime > 2^32
+
+
+def _affine_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**31 - 1, num_hashes)
+    b = rng.integers(0, _MERSENNE_P, num_hashes)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signature(
+    text_col: str | Column,
+    num_hashes: int = 64,
+    k: int = 9,
+    seed: int = 42,
+) -> Column:
+    """array<bigint> MinHash signature, expression-only.
+
+    One xxhash64 per shingle (reduced to 32 bits so the affine multiply
+    stays in int64), then per hash function i: min over shingles of
+    ``(a_i * h32 + b_i) mod p``.  Empty docs get an all-``p`` signature.
+    """
+    shingles = shingle_hashes(text_col, k)
+    h32 = F.transform(shingles, lambda h: F.pmod(h, F.lit(4294967296)))
+    sig = []
+    for a, b in _affine_params(num_hashes, seed):
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        h32,
+                        lambda h: F.pmod(
+                            F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)
+                        ),
+                    )
+                ),
+                F.lit(_MERSENNE_P),
+            )
+        )
+    return F.array(*sig)
+
+
+def lsh_bands(sig_col: str | Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bucket:bigint>> — one bucket id per band."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    out = []
+    for bnd in range(bands):
+        sl = F.slice(sig, bnd * rows_per_band + 1, rows_per_band)
+        out.append(
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return F.array(*out)
+
+
+def signature_agreement(a: Column, b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing MinHash positions."""
+    eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1.0).otherwise(0.0))
+    return F.aggregate(eq, F.lit(0.0), lambda acc, x: acc + x) / F.size(a)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 9,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    Plan shape: signature scan -> explode bands -> shuffle on (band,bucket)
+    -> within-bucket self-join -> distinct pairs -> zip_with verification.
+    No O(n^2) stage; bucket sizes bound the join fan-out.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(text_col, num_hashes, k, seed).alias("sig"),
+    )
+    buckets = sigs.select(
+        "doc", "sig", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bb")
+    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "est_jaccard", signature_agreement(F.col("sig_a"), F.col("sig_b"))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash --
+
+
+def simhash(text_col: str | Column, k: int = 9, bits: int = 64) -> Column:
+    """64-bit SimHash, expression-only: per bit b, sum +/-1 over shingle
+    hashes; bit set iff the sum is positive."""
+    shingles = shingle_hashes(text_col, k)
+    counts = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(0).cast("int"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda bpos: F.when(
+                    F.call_function("shiftright", h, bpos).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a_, x: a_ + x,
+        ),
+    )
+    # pack sign bits into a long: sum of 2^b where counts[b] > 0
+    packed = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda cnt, bpos: F.when(
+                cnt > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), bpos)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return packed
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    k: int = 9,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, bucketed by the
+    top ``prefix_bits`` bits (rotation-table LSH simplified to one table —
+    catches dups whose differing bits fall outside the prefix)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), simhash(text_col, k).alias("sh")
+    ).withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------- ngram jaccard --
+
+
+def word_ngrams(text_col: str | Column, n: int = 3) -> Column:
+    """array<string> of word n-grams of the normalized text."""
+    words = F.split(normalize_text(text_col), " ")
+    cnt = F.size(words) - F.lit(n - 1)
+    return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-generated candidates.
+
+    Candidates come from MinHash banding (cheap); the surviving pairs join
+    back to their n-gram sets and compute EXACT Jaccard with
+    ``array_intersect``/``array_union`` — no full cross product.
+    """
+    cands = minhash_dedup_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        threshold=max(0.0, threshold - 0.25), seed=seed,
+    )
+    grams = df.select(
+        F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("grams")
+    )
+    return (
+        cands.join(grams.withColumnRenamed("doc", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
+        .join(grams.withColumnRenamed("doc", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.size(F.array_union("g_a", "g_b")) > 0,
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b")),
+            ).otherwise(F.lit(1.0)),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------- embedding near-dup --
+
+
+def hyperplane_bucket_udf(dim: int, planes: int = 16, seed: int = 42):
+    """Arrow-batched random-hyperplane LSH: embedding -> bucket id.
+
+    numpy matmul over the whole Arrow batch (vectorized, no per-row
+    Python): sign bits of X @ R packed into a long.
+    """
+    rng = np.random.default_rng(seed)
+    r = rng.standard_normal((dim, planes))
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("bigint")
+    def bucket(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy())
+        bits = (x @ r) > 0
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """JVM-side cosine similarity of two array<float/double> columns."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicates via hyperplane-LSH buckets + in-bucket verify."""
+    bucket = hyperplane_bucket_udf(dim, planes, seed)
+    b = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    ).withColumn("bucket", bucket(F.col("emb")))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            cosine_expr(F.col("x.emb"), F.col("y.emb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,111 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  The (small) query set is BROADCAST against the item table; similarity is
+  JVM-side zip_with arithmetic; top-k is a window row_number per query.
+  At 100 TB this is a single map-side pass over items + one shuffle of
+  (n_queries x candidates) rows.
+- ``ivf_topk``: the scale path — IVF-style coarse quantization.  Items are
+  assigned once to their nearest centroid (Arrow-batched numpy matmul);
+  a query probes only the ``nprobe`` nearest centroid lists, pruning the
+  scanned fraction to ~nprobe/n_centroids.  Centroids here are a
+  deterministic sample of the items (k-means init without iterations —
+  good enough for pruning; swap in trained centroids at will).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .dedup import cosine_expr
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    query_id: str = "query_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (queries broadcast, items streamed)."""
+    i = items.select(
+        F.col(item_id).alias("item_id"), F.col(emb).cast("array<double>").alias("i_emb")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(emb).cast("array<double>").alias("q_emb")
+    )
+    scored = i.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "item_id",
+        cosine_expr(F.col("i_emb"), F.col("q_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
+def _nearest_centroid_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Arrow-batched assignment to the nprobe nearest centroids (cosine)."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def assign(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy())
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ c.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    item_id: str = "vec_id",
+    query_id: str = "query_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN: items live in one centroid list; queries probe
+    ``nprobe`` lists.  Recall < 1 by design; larger nprobe -> closer to
+    brute force (asserted within tests)."""
+    # deterministic centroid sample (first n_centroids by id)
+    cent_rows = (
+        items.orderBy(F.col(item_id)).limit(n_centroids)
+        .select(F.col(emb).cast("array<double>"))
+        .collect()
+    )
+    centroids = np.array([r[0] for r in cent_rows], dtype=np.float64)
+
+    assign1 = _nearest_centroid_udf(centroids, nprobe=1)
+    assignp = _nearest_centroid_udf(centroids, nprobe=nprobe)
+
+    i = items.select(
+        F.col(item_id).alias("item_id"), F.col(emb).cast("array<double>").alias("i_emb")
+    ).withColumn("cell", F.element_at(assign1(F.col("i_emb")), 1))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(emb).cast("array<double>").alias("q_emb")
+    ).withColumn("cell", F.explode(assignp(F.col("q_emb"))))
+
+    scored = i.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "item_id",
+        cosine_expr(F.col("i_emb"), F.col("q_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )

@@ -1,0 +1,120 @@
+"""Text analysis over document/content columns — all pure Catalyst
+expressions (JVM-side, whole-stage codegen; no Python in the hot path).
+
+A large-scale training-data pipeline's per-document features: token
+counting, quality scoring, heuristic language ID, fingerprinting.  Each
+returns a Column so callers can stack them into one ``select`` (single scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_PUNCT_PATTERN = r"[!-/:-@\[-`{-~]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+}
+
+
+def token_count(col: str | Column, pattern: str = TOKEN_PATTERN) -> Column:
+    """Number of tokens by regex (BPE-ish default); whitespace variant:
+    pass ``pattern=r"\\S+"``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) > 0,
+        F.regexp_count(c, F.lit(_PUNCT_PATTERN)) / F.length(c),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = stopwords or LANG_MARKERS["en"]
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    hits = F.regexp_count(c, F.lit(pat))
+    toks = token_count(c)
+    return F.when(toks > 0, hits / toks).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic [0,1] document-quality score from length / punctuation /
+    stopword ratios (logistic blend; deterministic, expression-only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_score = F.least(F.lit(1.0), F.length(c) / F.lit(2000.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4.0)
+    stop = stopword_ratio(c)
+    stop_score = F.least(F.lit(1.0), stop * 5.0)
+    raw = 0.5 * length_score + 0.3 * punct_pen + 0.2 * stop_score
+    return F.round(raw, 6)
+
+
+def lang_id(col: str | Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (``unknown`` when nothing matches).  Implemented as
+    ``array_max(array(struct(score, lang)...))`` — struct comparison is
+    lexicographic, so the max is the best (score, lang) pair."""
+    c = F.col(col) if isinstance(col, str) else col
+    markers = markers or LANG_MARKERS
+    scored = []
+    for lang, words in markers.items():
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        scored.append(
+            F.struct(
+                F.regexp_count(c, F.lit(pat)).alias("score"), F.lit(lang).alias("lang")
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """64-bit fingerprint of the normalized document (rolling-hash analog;
+    xxhash64 over the canonical text — identical-after-normalization docs
+    collide by construction)."""
+    return F.xxhash64(normalize_text(col))
+
+
+def shingle_hashes(col: str | Column, k: int = 9) -> Column:
+    """array<long> of xxhash64 over all k-character shingles of the
+    normalized text (JVM-side ``transform`` over a ``sequence``)."""
+    c = normalize_text(F.col(col) if isinstance(col, str) else col)
+    n_shingles = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    return F.when(n_shingles <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_shingles),
+            lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+        )
+    )
+
+
+def min_shingle_fingerprint(col: str | Column, k: int = 9) -> Column:
+    """Winnowing-style content fingerprint: min shingle hash (= a 1-function
+    MinHash; robust to small appends unlike the whole-doc hash)."""
+    return F.array_min(shingle_hashes(col, k))

@@ -1,0 +1,123 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dff.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    signature_agreement,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "spark executes distributed dataframe pipelines with catalyst optimizing "
+    "logical plans into whole stage generated code across many partitions "
+    "while tungsten manages memory layout and shuffle services move blocks"
+)
+
+
+def _corpus(spark):
+    """4 docs: 0 and 1 near-identical, 2 a partial overlap, 3 unrelated."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("shuffle services", "the shuffle service")),
+        (2, BASE[: len(BASE) // 2] + " entirely different tail about gardening and tomatoes"),
+        (3, "completely unrelated text about cooking pasta with fresh basil and "
+            "olive oil in a small kitchen on a sunday afternoon with friends"),
+        (4, BASE),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = _corpus(spark)
+    groups = exact_duplicate_groups(df, "text")
+    assert groups.count() == 1 and groups.first()["n_docs"] == 2
+    kept = dedup_exact(df, "text", "doc_id")
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {0, 1, 2, 3}
+
+
+def test_minhash_estimates_jaccard(spark):
+    df = _corpus(spark)
+    sigs = df.select(
+        "doc_id", minhash_signature("text", num_hashes=128, k=9).alias("sig")
+    )
+    a = sigs.where(F.col("doc_id") == 0).first()["sig"]
+    b = sigs.where(F.col("doc_id") == 1).first()["sig"]
+    c = sigs.where(F.col("doc_id") == 3).first()["sig"]
+    est_ab = sum(x == y for x, y in zip(a, b)) / len(a)
+    est_ac = sum(x == y for x, y in zip(a, c)) / len(a)
+    assert est_ab > 0.6          # near-dups agree on most positions
+    assert est_ac < 0.2          # unrelated docs rarely agree
+    # exact dup -> identical signature
+    d = sigs.where(F.col("doc_id") == 4).first()["sig"]
+    assert list(a) == list(d)
+
+
+def test_minhash_lsh_pairs(spark):
+    df = _corpus(spark)
+    pairs = minhash_dedup_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 4) in found and (0, 1) in found and (1, 4) in found
+    assert not any(3 in p for p in found)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 4)] == 1.0
+
+
+def test_simhash_near_dups(spark):
+    df = _corpus(spark)
+    sh = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash("text").alias("sh")).collect()}
+    assert sh[0] == sh[4]
+    ham01 = bin(sh[0] ^ sh[1]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    # near-dup pair clearly closer than unrelated pair (64-bit sketch)
+    assert ham01 <= 20 and ham03 >= 24 and ham01 < ham03
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3, prefix_bits=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 4) in found
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = _corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    assert pairs[(0, 4)] == 1.0
+    assert 0.4 <= pairs[(0, 1)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dups_on_testdata(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an exact duplicate vector with a new id
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    df = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", dim=64, threshold=0.999, planes=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    first_id = emb.first()["vec_id"]
+    assert (first_id, first_id + 100000) in found
+    for r in pairs:
+        assert r["cosine"] >= 0.999
+
+
+def test_signature_agreement_expression(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 2, 9, 9])], "a array<bigint>, b array<bigint>"
+    )
+    got = df.select(signature_agreement(F.col("a"), F.col("b")).alias("j")).first()["j"]
+    assert got == pytest.approx(0.5)

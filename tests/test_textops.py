@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dff.textops import (
+    doc_fingerprint,
+    lang_id,
+    min_shingle_fingerprint,
+    quality_score,
+    shingle_hashes,
+    token_count,
+    whitespace_token_count,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog, it is for the win"),
+        (1, "der hund und die katze sind nicht ein team mit der maus"),
+        (2, "le chat est dans la maison et il est pour les amis"),
+        (3, "el perro es una mascota que vive con la familia del barrio"),
+        (4, ""),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = _docs(spark)
+    got = {
+        r["doc_id"]: (r["bpe"], r["ws"])
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("bpe"),
+            whitespace_token_count("text").alias("ws"),
+        ).collect()
+    }
+    assert got[4] == (0, 0)
+    assert got[5] == (3, 3)
+    # doc 0: 13 words + 1 comma = 14 bpe tokens, 13 ws tokens
+    assert got[0] == (14, 13)
+
+
+def test_lang_id_heuristic(spark):
+    df = _docs(spark)
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[5] == "unknown"
+
+
+def test_quality_and_fingerprints(spark):
+    df = _docs(spark)
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            doc_fingerprint("text").alias("fp"),
+            min_shingle_fingerprint("text").alias("msf"),
+            F.size(shingle_hashes("text")).alias("n_shingles"),
+        ).collect()
+    }
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert rows[4]["q"] < rows[0]["q"]
+    # fingerprint invariant under whitespace/case normalization
+    df2 = spark.createDataFrame(
+        [(0, "THE  quick   brown fox and the lazy dog, it is for the win")],
+        "doc_id long, text string",
+    )
+    fp2 = df2.select(doc_fingerprint("text").alias("fp")).first()["fp"]
+    assert fp2 == rows[0]["fp"]
+    assert rows[0]["n_shingles"] == len("the quick brown fox and the lazy dog, it is for the win") - 8
+    assert rows[4]["n_shingles"] == 0 and rows[4]["msf"] is None
