@@ -1,0 +1,166 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is materialized through the noop sink so the full plan executes
+(collect-only timings can under-measure when Catalyst prunes unobserved
+columns).  A validation-pipeline entry benches the engine itself over a
+synthetic source-code table cached under .bench_data/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+from dff.checkpoint import CheckpointStore
+from dff.drift import CategoricalBins, DriftSpec, NumericBins, snapshot
+from dff.ruleset import parse_json
+from dff.runner import ReferentialCheck, ValidationConfig, ValidationRunner
+from dff.sources import ALLOWED_LANGS, commits_dim, synthetic_source_files
+
+HEADLINE = [
+    "rule_dag_verdict",
+    "pricing_summary",
+    "inner_join",
+    "broadcast_join",
+    "left_anti",
+    "window_topk_per_group",
+    "stats_onepass",
+    "monthly_rollup",
+    "sha256",
+    "token_counts",
+    "psi_drift",
+    "lang_id",
+    "ann_bruteforce",
+    "minhash_near_dups",
+    "salted_stats",
+]
+
+VALIDATION_ROWS = int(os.environ.get("SPARK_GRAFT_VALIDATION_ROWS", "500000"))
+
+
+def _session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dff-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _ensure_source_table(spark: SparkSession, n: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    df = synthetic_source_files(spark, n, n_repos=2000, n_parts=64, seed=42)
+    df.repartition(64).write.mode("overwrite").parquet(path)
+
+
+def bench_validation_pipeline(spark: SparkSession, src_path: str, tmp: str) -> float:
+    """Full engine pass: rules + uniqueness + referential + drift + checkpoint."""
+    df = spark.read.parquet(src_path)
+    dspec = DriftSpec(
+        numeric=[
+            NumericBins(
+                "content_length",
+                tuple(float(2**i) for i in range(4, 14)),
+                expr="length(content)",
+            )
+        ],
+        categorical=[CategoricalBins("lang", tuple(ALLOWED_LANGS))],
+    )
+    baseline = snapshot(df.sample(0.05, seed=1), dspec)
+    cfg = ValidationConfig(
+        ruleset=parse_json(
+            {
+                "version": "bench-v1",
+                "sensitivity": 0.7,
+                "rules": [
+                    {"id": "C_null_lang", "name": "lang is null", "requires": []},
+                    {"id": "C_empty", "name": "length(content) = 0", "requires": ["C_null_lang"]},
+                    {"id": "C_huge", "name": "length(content) > 10485760", "requires": ["C_empty"]},
+                ],
+            }
+        ),
+        referential=[
+            ReferentialCheck(commits_dim(spark, 2000), ["repo", "commit"], "C_ref_commit")
+        ],
+        drift_spec=dspec,
+        drift_baseline=baseline,
+        snapshot_id="bench",
+    )
+    runner = ValidationRunner(cfg)
+    store = CheckpointStore(spark, os.path.join(tmp, "ckpt"))
+    t0 = time.perf_counter()
+    result = runner.validate(df)
+    _materialize(result.verdicts)
+    _materialize(result.violations)
+    store.append(runner.checkpoint_rows(result.partition_metrics, "bench-v1"))
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qdict = entrymod.queries()
+    # warmup (JIT, codegen, parquet footer cache)
+    _materialize(qdict["stats_onepass"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(qdict[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    import tempfile
+
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+    os.makedirs(bench_dir, exist_ok=True)
+    src_path = os.path.join(bench_dir, f"source_{VALIDATION_ROWS}.parquet")
+    _ensure_source_table(spark, VALIDATION_ROWS, src_path)
+    with tempfile.TemporaryDirectory() as tmp:
+        vsec = bench_validation_pipeline(spark, src_path, tmp)
+    timings["validation_pipeline"] = round(vsec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + validation pipeline, wall sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "validation_rows": VALIDATION_ROWS,
+                "validation_rows_per_sec": round(VALIDATION_ROWS / vsec),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

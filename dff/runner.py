@@ -17,15 +17,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointStore, plan_pending
 from .compiler import ScorerRegistry, compile_ruleset
 from .drift import DriftSpec, drift_by_partition
-from .referential import orphan_rows
 from .ruleset import RuleSet
-from .uniqueness import uniqueness_violations
 
 
 @dataclass
@@ -76,38 +74,64 @@ class ValidationRunner:
 
     # -- violations ----------------------------------------------------
     def violations(self, df: DataFrame, verdicts: DataFrame) -> DataFrame:
+        """All constraint violations in ONE scan.
+
+        Instead of a union of three subplans (rule pass, uniqueness window,
+        referential anti joins) that each rescan the table, the checks are
+        fused onto one projection: broadcast LEFT joins mark missing
+        dimension keys, a single window row_number marks duplicate keys,
+        and the verdict column marks rule hits; a row's violations explode
+        into one output row per violated constraint (same multiset as the
+        old union — asserted by the resume/parity tests).  Plan: 1 scan +
+        1 key shuffle + N broadcast builds, vs 3 scans + shuffle before.
+        """
         cfg = self.config
         key_sel = [*cfg.key_cols, cfg.part_col]
-        parts = [
-            verdicts.where(F.col("verdict").isNotNull()).select(
-                *key_sel,
-                F.col("verdict_id").alias("constraint_id"),
-                F.col("verdict").alias("detail"),
+        fused = verdicts
+        cons_entries = [
+            F.when(
+                F.col("verdict_id").isNotNull(),
+                F.struct(
+                    F.col("verdict_id").alias("constraint_id"),
+                    F.col("verdict").alias("detail"),
+                ),
             )
         ]
-        if cfg.unique_keys:
-            parts.append(
-                uniqueness_violations(
-                    df.select(*key_sel), list(cfg.unique_keys)
-                ).select(*key_sel, "constraint_id", F.lit("duplicate key").alias("detail"))
+        for i, check in enumerate(cfg.referential):
+            marker = f"__ref_ok_{i}"
+            dim = F.broadcast(
+                check.dim.select(*check.on).distinct().withColumn(marker, F.lit(1))
             )
-        for check in cfg.referential:
-            parts.append(
-                orphan_rows(
-                    df.select(*key_sel, *[c for c in check.on if c not in key_sel]),
-                    check.dim,
-                    check.on,
-                    constraint_id=check.constraint_id,
-                ).select(
-                    *key_sel,
-                    "constraint_id",
-                    F.lit("missing in dimension").alias("detail"),
+            fused = fused.join(dim, check.on, "left")
+            cons_entries.append(
+                F.when(
+                    F.col(marker).isNull(),
+                    F.struct(
+                        F.lit(check.constraint_id).alias("constraint_id"),
+                        F.lit("missing in dimension").alias("detail"),
+                    ),
                 )
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        if cfg.unique_keys:
+            w = Window.partitionBy(*cfg.unique_keys).orderBy(
+                *[F.col(c).asc() for c in key_sel]
+            )
+            fused = fused.withColumn("__rn", F.row_number().over(w))
+            cons_entries.append(
+                F.when(
+                    F.col("__rn") > 1,
+                    F.struct(
+                        F.lit("uniqueness").alias("constraint_id"),
+                        F.lit("duplicate key").alias("detail"),
+                    ),
+                )
+            )
+        return (
+            fused.withColumn("__cons", F.array_compact(F.array(*cons_entries)))
+            .where(F.size("__cons") > 0)
+            .select(*key_sel, F.explode("__cons").alias("__c"))
+            .select(*key_sel, F.col("__c.constraint_id"), F.col("__c.detail"))
+        )
 
     # -- partition rollup ----------------------------------------------
     def partition_metrics(
@@ -152,15 +176,22 @@ class ValidationRunner:
         )
 
     # -- end to end ------------------------------------------------------
-    def validate(self, df: DataFrame) -> ValidationResult:
+    def validate(self, df: DataFrame, persist_violations: bool = True) -> ValidationResult:
         cfg = self.config
         verdicts = self.row_verdicts(df)
         violations = self.violations(df, verdicts)
+        if persist_violations:
+            # violations are consumed twice (sink write + metrics rollup) and
+            # are orders of magnitude smaller than the input: persist so the
+            # rule/uniqueness/referential passes run once, not twice.
+            violations = violations.persist()
         drift = None
         if cfg.drift_spec is not None and cfg.drift_baseline is not None:
             drift = drift_by_partition(
                 df, cfg.part_col, cfg.drift_spec, cfg.drift_baseline
             )
+            if persist_violations:
+                drift = drift.persist()  # n_parts x n_cols rows, reused by metrics
         metrics = self.partition_metrics(df, violations, drift)
         return ValidationResult(verdicts, violations, metrics, drift)
 

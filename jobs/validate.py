@@ -1,0 +1,159 @@
+"""spark-submit entry point for the validation engine (north rule:
+``spark-submit --py-files dist/dff.zip jobs/validate.py``).
+
+Validates a source-code table (parquet/Iceberg path or synthetic) against a
+rule spec, resumable from the checkpoint store.  ``--parallelism`` realizes
+the N vs 4N cluster-size comparison in the sandbox (local[N]); on a real
+cluster drop ``--local`` and size executors via spark-submit flags.
+
+Usage examples:
+  spark-submit --py-files dist/dff.zip jobs/validate.py \
+      --input /data/source_files --rules rules.json \
+      --checkpoint /data/ckpt --violations /data/violations
+  python jobs/validate.py --synthetic-rows 2000000 --parallelism 8 --bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from dff.checkpoint import CheckpointStore
+from dff.drift import CategoricalBins, DriftSpec, NumericBins, snapshot
+from dff.ruleset import parse_dmn, parse_json
+from dff.runner import ReferentialCheck, ValidationConfig, ValidationRunner
+from dff.schema import SOURCE_SCHEMA, assert_schema
+from dff.sources import ALLOWED_LANGS, commits_dim, synthetic_source_files
+
+DEFAULT_RULES = {
+    "version": "source-v1",
+    "sensitivity": 0.7,
+    "rules": [
+        {"id": "C_null_lang", "name": "lang is null", "requires": []},
+        {"id": "C_empty", "name": "length(content) = 0", "requires": ["C_null_lang"]},
+        {"id": "C_huge", "name": "length(content) > 10485760", "requires": ["C_empty"]},
+    ],
+}
+
+
+def build_session(parallelism: int | None, app: str = "dff-validate") -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if parallelism:
+        b = (
+            b.master(f"local[{parallelism}]")
+            .config("spark.sql.shuffle.partitions", str(2 * parallelism))
+            .config("spark.driver.memory", os.environ.get("DFF_DRIVER_MEM", "48g"))
+        )
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path of the source table")
+    ap.add_argument("--synthetic-rows", type=int, default=0,
+                    help="generate a synthetic source table instead of --input")
+    ap.add_argument("--rules", help="rule spec (.json or .dmn); default built-in")
+    ap.add_argument("--checkpoint", help="checkpoint store path (enables resume)")
+    ap.add_argument("--violations", help="violations output path")
+    ap.add_argument("--parallelism", type=int, default=None,
+                    help="local[N] cores (sandbox stand-in for executor count)")
+    ap.add_argument("--snapshot-id", default="snapshot-0")
+    ap.add_argument("--n-repos", type=int, default=2000)
+    ap.add_argument("--skew", action="store_true", help="skew-stress dataset")
+    ap.add_argument("--no-drift", action="store_true")
+    ap.add_argument("--bench", action="store_true", help="print one timing JSON line")
+    args = ap.parse_args(argv)
+
+    spark = build_session(args.parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.rules and args.rules.endswith(".dmn"):
+        ruleset = parse_dmn(args.rules)
+    elif args.rules:
+        ruleset = parse_json(args.rules)
+    else:
+        ruleset = parse_json(DEFAULT_RULES)
+
+    if args.input:
+        df = spark.read.parquet(args.input)
+    elif args.synthetic_rows:
+        df = synthetic_source_files(
+            spark, args.synthetic_rows, n_repos=args.n_repos, n_parts=64,
+            seed=42, skew=args.skew,
+        )
+    else:
+        ap.error("one of --input / --synthetic-rows is required")
+    assert_schema(df, SOURCE_SCHEMA)
+
+    cfg = ValidationConfig(
+        ruleset=ruleset,
+        referential=[
+            ReferentialCheck(commits_dim(spark, args.n_repos), ["repo", "commit"], "C_ref_commit")
+        ],
+        snapshot_id=args.snapshot_id,
+    )
+    if not args.no_drift:
+        cfg.drift_spec = DriftSpec(
+            numeric=[
+                NumericBins(
+                    "content_length",
+                    tuple(float(2**i) for i in range(4, 14)),
+                    expr="length(content)",
+                )
+            ],
+            categorical=[CategoricalBins("lang", tuple(ALLOWED_LANGS))],
+        )
+        cfg.drift_baseline = snapshot(df.sample(0.05, seed=1), cfg.drift_spec)
+
+    runner = ValidationRunner(cfg)
+    if args.bench:
+        # JIT/codegen/page-cache warmup on a slice, excluded from timing
+        warm = runner.validate(df.limit(20000), persist_violations=False)
+        warm.violations.write.format("noop").mode("overwrite").save()
+        warm.partition_metrics.collect()
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        store = CheckpointStore(spark, args.checkpoint)
+        result = runner.run(df, store, violations_path=args.violations)
+        if result is None:
+            print(json.dumps({"status": "already-complete"}))
+            spark.stop()
+            return {"status": "already-complete"}
+    else:
+        result = runner.validate(df)
+        result.verdicts.write.format("noop").mode("overwrite").save()
+        if args.violations:
+            result.violations.write.mode("overwrite").parquet(args.violations)
+        else:
+            result.violations.write.format("noop").mode("overwrite").save()
+    metrics = result.partition_metrics.collect()
+    wall = time.perf_counter() - t0
+    rows = sum(m["rows"] for m in metrics)
+    out = {
+        "rows": rows,
+        "violations": int(sum(m["violations"] for m in metrics)),
+        "partitions": len(metrics),
+        "failed_partitions": sum(1 for m in metrics if m["verdict"] == "fail"),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall) if wall > 0 else None,
+        "parallelism": args.parallelism,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main()

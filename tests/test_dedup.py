@@ -115,6 +115,23 @@ def test_embedding_near_dups_on_testdata(spark):
         assert r["cosine"] >= 0.999
 
 
+def test_arrow_signature_matches_expression(spark):
+    """The numpy fast path must be bit-for-bit identical to the pure
+    Catalyst expression path."""
+    from dff.dedup import minhash_signature_arrow_udf
+    from dff.textops import shingle_hashes
+    df = _corpus(spark)
+    h32 = F.transform(shingle_hashes("text", 9), lambda h: F.pmod(h, F.lit(4294967296)))
+    sign = minhash_signature_arrow_udf(32, seed=7)
+    both = df.select(
+        "doc_id",
+        minhash_signature("text", num_hashes=32, seed=7).alias("expr_sig"),
+        sign(h32).alias("arrow_sig"),
+    ).collect()
+    for r in both:
+        assert list(r["expr_sig"]) == list(r["arrow_sig"]), r["doc_id"]
+
+
 def test_signature_agreement_expression(spark):
     df = spark.createDataFrame(
         [([1, 2, 3, 4], [1, 2, 9, 9])], "a array<bigint>, b array<bigint>"
