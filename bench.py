@@ -58,6 +58,8 @@ def _session(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
+        # keep scan stages wide on highly-compressed content (see jobs/validate.py)
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

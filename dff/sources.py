@@ -115,8 +115,13 @@ def synthetic_source_files(
     ext_expr = F.lit("txt")
     for lg, ext in _EXT.items():
         ext_expr = F.when(lang == lg, F.lit(ext)).otherwise(ext_expr)
-    module_idx = F.pmod(F.xxhash64(F.col("id"), F.lit("mod"), F.lit(seed)), F.lit(40))
-    file_idx = F.pmod(F.xxhash64(F.col("id"), F.lit("file"), F.lit(seed)), F.lit(5000))
+    # key space sized so (repo, path, commit) collisions are planted-only:
+    # the Zipf-hot repo holds ~n/ln(n_repos) rows, and birthday collisions
+    # over (modules x files x commits) must stay << planted dup count
+    module_idx = F.pmod(F.xxhash64(F.col("id"), F.lit("mod"), F.lit(seed)), F.lit(200))
+    file_idx = F.pmod(
+        F.xxhash64(F.col("id"), F.lit("file"), F.lit(seed)), F.lit(2_000_000)
+    )
     path = F.concat(
         F.lit("src/module"), module_idx.cast("string"),
         F.lit("/file_"), file_idx.cast("string"),

@@ -54,6 +54,12 @@ def build_session(parallelism: int | None, app: str = "dff-validate") -> SparkSe
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # source-code content compresses ~10x in parquet, so a default 128MB
+        # split decompresses to >1GB of per-task work and a moderate table
+        # yields too few splits to occupy the cluster (measured: 773MB input
+        # -> 10 scan tasks, capping scaling at ~10 cores).  32MB file splits
+        # keep scan stages wide; shuffles are sized by shuffle.partitions.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -133,15 +139,41 @@ def main(argv: list[str] | None = None) -> dict:
             return {"status": "already-complete"}
     else:
         result = runner.validate(df)
-        result.verdicts.write.format("noop").mode("overwrite").save()
-        if args.violations:
-            result.violations.write.mode("overwrite").parquet(args.violations)
-        else:
-            result.violations.write.format("noop").mode("overwrite").save()
+        # materialize the persisted violations once (single cache fill),
+        # then run the independent output actions CONCURRENTLY — Spark's
+        # scheduler interleaves their stages, filling cores a single
+        # sequential action chain would leave idle.
+        result.violations.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_verdicts():
+            result.verdicts.write.format("noop").mode("overwrite").save()
+
+        def write_violations():
+            if args.violations:
+                result.violations.write.mode("overwrite").parquet(args.violations)
+            else:
+                result.violations.write.format("noop").mode("overwrite").save()
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fv = pool.submit(write_verdicts)
+            fw = pool.submit(write_violations)
+            fm = pool.submit(result.partition_metrics.collect)
+            fv.result(), fw.result()
+            metrics = fm.result()
+        print(json.dumps(_summary(metrics, time.perf_counter() - t0, args)))
+        spark.stop()
+        return _summary(metrics, time.perf_counter() - t0, args)
     metrics = result.partition_metrics.collect()
-    wall = time.perf_counter() - t0
+    out = _summary(metrics, time.perf_counter() - t0, args)
+    print(json.dumps(out))
+    spark.stop()
+    return out
+
+
+def _summary(metrics, wall: float, args) -> dict:
     rows = sum(m["rows"] for m in metrics)
-    out = {
+    return {
         "rows": rows,
         "violations": int(sum(m["violations"] for m in metrics)),
         "partitions": len(metrics),
@@ -150,9 +182,6 @@ def main(argv: list[str] | None = None) -> dict:
         "rows_per_sec": round(rows / wall) if wall > 0 else None,
         "parallelism": args.parallelism,
     }
-    print(json.dumps(out))
-    spark.stop()
-    return out
 
 
 if __name__ == "__main__":

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 claims are free
+must actually appear in the executed plans (pushdown, pruning, broadcast,
+single-exchange aggregation, whole-stage codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dff.compiler import compile_ruleset
+from dff.referential import orphan_rows
+from dff.ruleset import parse_json
+from dff.sources import commits_dim, synthetic_source_files
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_referential_check_is_broadcast(spark):
+    df = synthetic_source_files(spark, 2000, n_repos=50)
+    plan = _plan(orphan_rows(df, commits_dim(spark, 50), ["repo", "commit"]))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT shuffle
+    assert "Exchange hashpartitioning(repo" not in plan
+
+
+def test_rule_pass_is_whole_stage_codegen_no_shuffle(spark):
+    df = synthetic_source_files(spark, 2000, n_repos=50)
+    rs = parse_json(
+        {"rules": [
+            {"id": "a", "name": "lang is null", "requires": []},
+            {"id": "b", "name": "length(content) = 0", "requires": ["a"]},
+        ]}
+    )
+    compiled = compile_ruleset(rs, df)
+    plan = _plan(df.select("repo", compiled.verdict.alias("v")))
+    assert "WholeStageCodegen" in plan
+    assert "Exchange" not in plan  # pure map-side
+
+
+def test_multi_stat_agg_single_exchange(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.agg(
+        F.count(F.lit(1)),
+        F.avg("l_quantity"),
+        F.stddev_samp("l_quantity"),
+        F.min("l_quantity"),
+        F.max("l_quantity"),
+        F.approx_count_distinct("l_partkey"),
+    )
+    plan = _plan(agg)
+    assert plan.count("Exchange") == 1, plan
