@@ -308,8 +308,11 @@ def q_source_profile(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("distinct_texts"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.min("n_chars"), 4).alias("min_chars"),
-        F.round(F.max("n_chars"), 4).alias("max_chars"),
+        # cast->double BEFORE round: DuckDB's round() returns DOUBLE while
+        # Spark's round(bigint) stays BIGINT — the driver's value hash is
+        # type-sensitive (CORRECTNESS_r01 source_profile hash_match=false)
+        F.round(F.min("n_chars").cast("double"), 4).alias("min_chars"),
+        F.round(F.max("n_chars").cast("double"), 4).alias("max_chars"),
     )
 
 

@@ -103,7 +103,10 @@ def bench_validation_pipeline(spark: SparkSession, src_path: str, tmp: str) -> f
             }
         ),
         referential=[
-            ReferentialCheck(commits_dim(spark, 2000), ["repo", "commit"], "C_ref_commit")
+            ReferentialCheck(
+                commits_dim(spark, 2000), ["repo", "commit"],
+                "C_ref_commit", dim_is_distinct=True,
+            )
         ],
         drift_spec=dspec,
         drift_baseline=baseline,

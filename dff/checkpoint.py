@@ -15,8 +15,6 @@ resume semantics (duplicate checkpoint rows collapse to the latest).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -44,9 +42,16 @@ class CheckpointStore:
         self.path = path
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+        # probe via the Spark reader, not os.path — the store path may live
+        # on HDFS/S3 where a local-FS existence check would silently report
+        # "empty" and disable resume (re-validating everything).
+        try:
+            df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+            df.schema  # force analysis so a missing path raises here
+        except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+            raise
         # last-writer-wins per (snapshot, partition, dag_version)
         w = Window.partitionBy("snapshot_id", "partition_id", "dag_version").orderBy(
             F.col("completed_at").desc()

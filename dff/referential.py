@@ -15,15 +15,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _dim_side(
+    dim: DataFrame, on: list[str], broadcast: bool, dim_is_distinct: bool
+) -> DataFrame:
+    """Build the dimension side.  ``dim_is_distinct=True`` skips the
+    ``distinct()`` shuffle for dims already unique on ``on`` (e.g. a
+    commits dimension built from its natural key) — anti/semi join
+    semantics are unaffected by duplicate build-side keys, so the only
+    cost of a duplicated dim is broadcast size, not correctness."""
+    d = dim.select(*on) if dim_is_distinct else dim.select(*on).distinct()
+    return F.broadcast(d) if broadcast else d
+
+
 def orphan_rows(
     df: DataFrame,
     dim: DataFrame,
     on: list[str],
     broadcast: bool = True,
     constraint_id: str = "referential",
+    dim_is_distinct: bool = False,
 ) -> DataFrame:
     """Rows whose key tuple does not exist in ``dim`` (violations)."""
-    d = F.broadcast(dim.select(*on).distinct()) if broadcast else dim.select(*on).distinct()
+    d = _dim_side(dim, on, broadcast, dim_is_distinct)
     return df.join(d, on, "left_anti").withColumn("constraint_id", F.lit(constraint_id))
 
 
@@ -32,9 +45,10 @@ def valid_rows(
     dim: DataFrame,
     on: list[str],
     broadcast: bool = True,
+    dim_is_distinct: bool = False,
 ) -> DataFrame:
     """Rows whose key tuple exists in ``dim`` (passes)."""
-    d = F.broadcast(dim.select(*on).distinct()) if broadcast else dim.select(*on).distinct()
+    d = _dim_side(dim, on, broadcast, dim_is_distinct)
     return df.join(d, on, "left_semi")
 
 

@@ -31,6 +31,8 @@ class ReferentialCheck:
     dim: DataFrame
     on: list[str]
     constraint_id: str
+    #: dim already unique on ``on`` -> skip the distinct() shuffle before broadcast
+    dim_is_distinct: bool = False
 
 
 @dataclass
@@ -99,9 +101,10 @@ class ValidationRunner:
         ]
         for i, check in enumerate(cfg.referential):
             marker = f"__ref_ok_{i}"
-            dim = F.broadcast(
-                check.dim.select(*check.on).distinct().withColumn(marker, F.lit(1))
-            )
+            d = check.dim.select(*check.on)
+            if not check.dim_is_distinct:
+                d = d.distinct()
+            dim = F.broadcast(d.withColumn(marker, F.lit(1)))
             fused = fused.join(dim, check.on, "left")
             cons_entries.append(
                 F.when(
@@ -239,9 +242,12 @@ class ValidationRunner:
             return None
         result = self.validate(pending)
         if violations_path:
-            # partition-grained output -> idempotent per-partition overwrite
-            result.violations.write.mode("append").partitionBy(
-                cfg.part_col
-            ).parquet(violations_path)
+            # partition-grained output, dynamic overwrite: a crash between
+            # this write and store.append re-validates those partitions on
+            # resume, and their re-written output REPLACES (not duplicates)
+            # the prior rows — idempotent per-partition semantics.
+            result.violations.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy(cfg.part_col).parquet(violations_path)
         store.append(self.checkpoint_rows(result.partition_metrics, cfg.ruleset.version))
         return result

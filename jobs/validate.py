@@ -106,7 +106,10 @@ def main(argv: list[str] | None = None) -> dict:
     cfg = ValidationConfig(
         ruleset=ruleset,
         referential=[
-            ReferentialCheck(commits_dim(spark, args.n_repos), ["repo", "commit"], "C_ref_commit")
+            ReferentialCheck(
+                commits_dim(spark, args.n_repos), ["repo", "commit"],
+                "C_ref_commit", dim_is_distinct=True,
+            )
         ],
         snapshot_id=args.snapshot_id,
     )

@@ -1,0 +1,91 @@
+"""Local stand-in for the driver's correctness gate: run queries() on Spark
+and oracle_sql() on DuckDB at sf0.01, compare row count / schema / values.
+
+Usage: python tools/check_oracle.py [query ...]   (default: all with oracles)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = sys.argv[1:] or [n for n in qs if n in oracles]
+    failures = 0
+    for name in names:
+        if name not in oracles:
+            print(f"{name}: NO ORACLE (rows-only) -> spark rows "
+                  f"{qs[name](spark, SF_DIR).count()}")
+            continue
+        sdf = qs[name](spark, SF_DIR).toPandas()
+        odf = con.execute(oracles[name]).fetchdf()
+        s, o = normalize(sdf), normalize(odf)
+        rows_ok = len(s) == len(o)
+        schema_ok = list(s.columns) == list(o.columns) and all(
+            str(s[c].dtype) == str(o[c].dtype) for c in s.columns
+        )
+        vals_ok = False
+        if rows_ok and list(s.columns) == list(o.columns):
+            try:
+                pd.testing.assert_frame_equal(s, o, check_dtype=True)
+                vals_ok = True
+            except AssertionError as e:
+                vals_ok = False
+                detail = str(e).splitlines()[0]
+        status = "OK" if (rows_ok and schema_ok and vals_ok) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{name}: {status} rows={rows_ok}({len(s)}/{len(o)}) "
+              f"schema={schema_ok} values={vals_ok}")
+        if not schema_ok:
+            print(f"  spark  cols: {[(c, str(s[c].dtype)) for c in s.columns]}")
+            print(f"  oracle cols: {[(c, str(o[c].dtype)) for c in o.columns]}")
+        elif not vals_ok and rows_ok:
+            print(f"  {detail}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
