@@ -74,6 +74,42 @@ def q_rule_dag_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", compiled.verdict.alias("verdict"))
 
 
+# The reference's defining 5-node shape: chain R1 -> R2 -> R3 fanning out to
+# {R4, R5} where R5 is an ML scorer thresholded at sensitivity
+# (/root/reference/DFF_Ruleset.dmn:3-34, 02_dff_orchestration.py:215-250).
+# R5 here is a deterministic logistic scorer so DuckDB can replay it; rows
+# with n_chars in [885, 900] (and lang != 'zh') trigger BOTH R4 and R5,
+# exercising the fan-out tie-break (declaration order: R4 wins) —
+# SURVEY.md §7.3's top parity risk.
+SCORE_RULESET = {
+    "version": "docs-score-v1",
+    "sensitivity": 0.7,
+    "rules": [
+        {"id": "R1", "name": "text is null or length(text) = 0", "requires": []},
+        {"id": "R2", "name": "n_chars < 40", "requires": ["R1"]},
+        {"id": "R3", "name": "lang = 'zh' and n_chars > 400", "requires": ["R2"]},
+        {"id": "R4", "name": "n_chars between 850 and 900", "requires": ["R3"]},
+        {"id": "R5", "name": "score:chars_logistic", "requires": ["R3"]},
+    ],
+}
+
+
+def _chars_logistic(df: DataFrame):
+    """Deterministic stand-in for the reference's XGB pyfunc: a logistic
+    blend of a numeric column, P = sigmoid((n_chars - 800) / 100)."""
+    return F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("n_chars").cast("double") - 800.0) / 100.0)
+    )
+
+
+def q_rule_dag_score_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    compiled = compile_ruleset(
+        parse_json(SCORE_RULESET), docs, scorers={"score:chars_logistic": _chars_logistic}
+    )
+    return docs.select("doc_id", compiled.verdict.alias("verdict"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_rule_dag_verdict(spark, SF_DEFAULT)
@@ -387,15 +423,33 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_salted_stats(spark, sf_dir):
-    """Salted two-stage skew-aware aggregation (HLL sketch union is
-    Spark-specific -> rows-only; equality vs unsalted is pytest-asserted)."""
+    """Salted two-stage skew-aware aggregation, ORACLE-CHECKED: the
+    algebraic partials (count/min/max/mean/std) merge to exactly the
+    unsalted answer, so plain GROUP BY SQL is a valid oracle.  The HLL
+    variant (engine-specific sketch) stays pytest-asserted in test_stats."""
     d = _t(spark, sf_dir, "documents")
-    return salted_grouped_stats(d, ["lang"], "n_chars", salt_buckets=8)
+    s = salted_grouped_stats(
+        d, ["lang"], "n_chars", salt_buckets=8, include_approx_distinct=False
+    )
+    return s.select(
+        "lang",
+        "rows",
+        "non_null",
+        F.round("min", 4).alias("min_v"),
+        F.round("max", 4).alias("max_v"),
+        F.round("mean", 4).alias("mean_v"),
+        F.round("stddev", 4).alias("std_v"),
+    )
 
 
 def q_quality_scores(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("q"))
+    # round once, through decimal(20,10): rounding a raw DOUBLE diverges
+    # across engines at half-boundaries (Spark rounds the shortest decimal
+    # repr HALF_UP, DuckDB rounds the true binary value); the decimal cast
+    # pins both to the same 10-decimal value first
+    q = quality_score("text", decimals=None).cast("decimal(20,10)")
+    return d.select("doc_id", F.round(q, 4).cast("double").alias("q"))
 
 
 # ---------------------------------------------------------------------------
@@ -404,6 +458,7 @@ def q_quality_scores(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_dag_verdict": q_rule_dag_verdict,
+        "rule_dag_score_fanout": q_rule_dag_score_fanout,
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
         "case_when_matrix": q_case_when_matrix,
@@ -427,12 +482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "lang_id": q_lang_id,
         "ann_bruteforce": q_ann_bruteforce,
-        # rows-only (engine-specific hash/sketch primitives)
+        "salted_stats": q_salted_stats,
+        "quality_scores": q_quality_scores,
+        # rows-only (engine-specific hash primitives: xxhash64 shingles /
+        # SimHash bits / hyperplane LSH have no cross-engine twin)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ivf_ann": q_ivf_ann,
-        "salted_stats": q_salted_stats,
-        "quality_scores": q_quality_scores,
     }
 
 
@@ -445,6 +501,23 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "rule_dag_verdict": _DOC_VERDICT_SQL,
+        # first-match CASE in topo order R1,R2,R3,R4,R5 — R4 before R5 is the
+        # fan-out tie-break (declaration order), R5 is the logistic scorer
+        # thresholded at sensitivity 0.7
+        "rule_dag_score_fanout": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR length(text) = 0
+                             THEN 'text is null or length(text) = 0'
+                        WHEN n_chars < 40 THEN 'n_chars < 40'
+                        WHEN lang = 'zh' AND n_chars > 400
+                             THEN 'lang = ''zh'' and n_chars > 400'
+                        WHEN n_chars BETWEEN 850 AND 900
+                             THEN 'n_chars between 850 and 900'
+                        WHEN 1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 800.0) / 100.0)) >= 0.7
+                             THEN 'score:chars_logistic'
+                   END AS verdict
+            FROM documents
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -580,6 +653,34 @@ def oracle_sql() -> dict[str, str]:
                 WHEN s_en >= s_de THEN 'en'
                 ELSE 'de' END AS lid FROM scored)
             SELECT lid, count(*) AS n FROM best GROUP BY lid
+        """,
+        "salted_stats": """
+            SELECT lang, count(*) AS rows, count(n_chars) AS non_null,
+                   round(CAST(min(n_chars) AS DOUBLE), 4) AS min_v,
+                   round(CAST(max(n_chars) AS DOUBLE), 4) AS max_v,
+                   round(avg(n_chars), 4) AS mean_v,
+                   round(stddev_samp(n_chars), 4) AS std_v
+            FROM documents GROUP BY lang
+        """,
+        # mirrors dff.textops.quality_score term by term; regexp hit counts
+        # via the split-array trick (n matches -> n+1 pieces)
+        "quality_scores": r"""
+            WITH f AS (
+              SELECT doc_id, length(text) AS n,
+                     length(regexp_split_to_array(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) - 1 AS toks,
+                     length(regexp_split_to_array(text, '[!-/:-@\[-`{-~]')) - 1 AS punct,
+                     length(regexp_split_to_array(text, '(?i)\b(the|and|of|to|is|in|that|it|for|with)\b')) - 1 AS stops
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     least(1.0, n / 2000.0) AS length_score,
+                     greatest(0.0, 1.0 - (CASE WHEN n > 0 THEN punct * 1.0 / n ELSE 0.0 END) * 4.0) AS punct_pen,
+                     least(1.0, (CASE WHEN toks > 0 THEN stops * 1.0 / toks ELSE 0.0 END) * 5.0) AS stop_score
+              FROM f)
+            SELECT doc_id,
+                   CAST(round(CAST(0.5 * length_score + 0.3 * punct_pen + 0.2 * stop_score
+                                   AS DECIMAL(20,10)), 4) AS DOUBLE) AS q
+            FROM s
         """,
         "ann_bruteforce": """
             SELECT query_id, item_id, round(cosine, 4) AS cosine_r, rank FROM (

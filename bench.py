@@ -51,13 +51,25 @@ VALIDATION_ROWS = int(os.environ.get("SPARK_GRAFT_VALIDATION_ROWS", "500000"))
 
 
 def _session(cpus: int) -> SparkSession:
+    mem = os.environ.get("DFF_DRIVER_MEM", "16g")
+    local_dir = os.environ.get("DFF_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = "/tmp"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("dff-bench")
+        # tmpfs shuffle dir: the sandbox disk writes at ~15 MB/s (see
+        # jobs/validate.py) — local-SSD stand-in
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", mem)
+        # fixed pre-touched heap: G1 heap uncommit/recommit page-faults are
+        # ~100x slower on virtualized memory (see jobs/validate.py)
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch")
         # keep scan stages wide on highly-compressed content (see jobs/validate.py)
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")

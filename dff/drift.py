@@ -160,24 +160,34 @@ DRIFT_RESULT_SCHEMA = T.StructType(
 )
 
 
-def drift_by_partition(
+def partition_histograms(
     df: DataFrame,
+    part_col: str,
+    spec: DriftSpec,
+    extra_aggs: list[Column] | None = None,
+    prebucketed: bool = False,
+) -> DataFrame:
+    """One-scan per-partition bucket counts (plus any ``extra_aggs`` such as
+    a row count) — lets the caller fuse its own per-partition aggregates
+    into the SAME scan instead of re-reading the table.
+    ``prebucketed=True`` means ``df`` already carries the ``__b_<col>``
+    bucket-index columns (e.g. a persisted base projection that decoded the
+    heavy value columns exactly once)."""
+    src = df if prebucketed else df.select(*bucket_projection(spec, [part_col]))
+    return src.groupBy(part_col).agg(*histogram_exprs(spec), *(extra_aggs or []))
+
+
+def drift_from_histograms(
+    hist: DataFrame,
     part_col: str,
     spec: DriftSpec,
     baseline: dict[str, np.ndarray],
 ) -> DataFrame:
-    """Per-partition PSI/KS vs the baseline snapshot.
+    """PSI/KS per (partition, column) from precomputed bucket counts.
 
-    One shuffle: ``groupBy(part_col)`` over pre-aggregated bucket counts
-    (map-side combine makes the shuffled volume ``n_parts x n_buckets``
-    longs, independent of row count).  The PSI/KS arithmetic runs in
-    ``applyInPandas`` over those tiny per-partition rows.
+    Input is tiny (n_parts rows x n_buckets cols); the statistics math runs
+    in an Arrow-batched ``applyInPandas`` — the only Python in the path.
     """
-    hist = (
-        df.select(*bucket_projection(spec, [part_col]))
-        .groupBy(part_col)
-        .agg(*histogram_exprs(spec))
-    )
     bins_meta = [(b.column, b.n_buckets) for b in spec.all_bins]
     baseline_plain = {k: v.tolist() for k, v in baseline.items()}
 
@@ -201,6 +211,25 @@ def drift_by_partition(
         return pd.DataFrame(out, columns=["part_id", "column", "psi", "ks"])
 
     return hist.groupBy(part_col).applyInPandas(compute, DRIFT_RESULT_SCHEMA)
+
+
+def drift_by_partition(
+    df: DataFrame,
+    part_col: str,
+    spec: DriftSpec,
+    baseline: dict[str, np.ndarray],
+) -> DataFrame:
+    """Per-partition PSI/KS vs the baseline snapshot.
+
+    One shuffle: ``groupBy(part_col)`` over pre-aggregated bucket counts
+    (map-side combine makes the shuffled volume ``n_parts x n_buckets``
+    longs, independent of row count).  See :func:`partition_histograms` /
+    :func:`drift_from_histograms` to fuse extra per-partition aggregates
+    into the same scan.
+    """
+    return drift_from_histograms(
+        partition_histograms(df, part_col, spec), part_col, spec, baseline
+    )
 
 
 def content_length_bins(max_log2: int = 24) -> NumericBins:

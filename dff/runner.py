@@ -17,12 +17,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointStore, plan_pending
 from .compiler import ScorerRegistry, compile_ruleset
-from .drift import DriftSpec, drift_by_partition
+from .drift import DriftSpec, drift_from_histograms, partition_histograms
 from .ruleset import RuleSet
 
 
@@ -57,6 +57,9 @@ class ValidationResult:
     violations: DataFrame         # key cols + part + constraint_id + detail
     partition_metrics: DataFrame  # per-partition rollup incl. pass/fail
     drift: DataFrame | None      # per-partition per-column psi/ks (if configured)
+    base: DataFrame | None = None  # persisted slim projection feeding all of
+    # the above; materialize it FIRST (base.count()) so concurrent output
+    # actions read the cache instead of racing to fill it with extra scans
 
 
 class ValidationRunner:
@@ -76,16 +79,23 @@ class ValidationRunner:
 
     # -- violations ----------------------------------------------------
     def violations(self, df: DataFrame, verdicts: DataFrame) -> DataFrame:
-        """All constraint violations in ONE scan.
+        """All constraint violations as a union of two shuffle-lean branches.
 
-        Instead of a union of three subplans (rule pass, uniqueness window,
-        referential anti joins) that each rescan the table, the checks are
-        fused onto one projection: broadcast LEFT joins mark missing
-        dimension keys, a single window row_number marks duplicate keys,
-        and the verdict column marks rule hits; a row's violations explode
-        into one output row per violated constraint (same multiset as the
-        old union — asserted by the resume/parity tests).  Plan: 1 scan +
-        1 key shuffle + N broadcast builds, vs 3 scans + shuffle before.
+        Branch 1 (rule + referential): fused onto one MAP-ONLY projection —
+        broadcast LEFT joins mark missing dimension keys, the verdict column
+        marks rule hits; a row's violations explode into one output row per
+        violated constraint.  Zero shuffle of the fact table.
+
+        Branch 2 (uniqueness): a SORT-FREE hash aggregation
+        ``groupBy(unique_keys).count()`` — emits (count-1) violation rows
+        per duplicated key via ``explode(sequence(...))``.  Earlier versions
+        used ``row_number`` over a window keyed on the unique keys: that
+        shuffles and SORTS every row of the table (memory-bound, poor
+        scaling, and the rank among identical copies is arbitrary anyway —
+        copies agree on every ordering column).  The hash aggregate shuffles
+        only the key columns (Parquet column pruning keeps the scan narrow),
+        never sorts, and produces the identical violation multiset
+        (asserted by the resume/parity tests).
         """
         cfg = self.config
         key_sel = [*cfg.key_cols, cfg.part_col]
@@ -115,37 +125,50 @@ class ValidationRunner:
                     ),
                 )
             )
-        if cfg.unique_keys:
-            w = Window.partitionBy(*cfg.unique_keys).orderBy(
-                *[F.col(c).asc() for c in key_sel]
-            )
-            fused = fused.withColumn("__rn", F.row_number().over(w))
-            cons_entries.append(
-                F.when(
-                    F.col("__rn") > 1,
-                    F.struct(
-                        F.lit("uniqueness").alias("constraint_id"),
-                        F.lit("duplicate key").alias("detail"),
-                    ),
-                )
-            )
-        return (
+        out = (
             fused.withColumn("__cons", F.array_compact(F.array(*cons_entries)))
             .where(F.size("__cons") > 0)
             .select(*key_sel, F.explode("__cons").alias("__c"))
             .select(*key_sel, F.col("__c.constraint_id"), F.col("__c.detail"))
         )
+        if cfg.unique_keys:
+            uniq_keys = list(cfg.unique_keys)
+            extra = [c for c in key_sel if c not in uniq_keys and c != cfg.part_col]
+            dup = (
+                df.select(*uniq_keys, cfg.part_col, *extra)
+                .groupBy(*uniq_keys)
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    # copies agree on part/extra key cols by construction;
+                    # max() just picks the representative deterministically
+                    F.max(cfg.part_col).alias(cfg.part_col),
+                    *[F.max(c).alias(c) for c in extra],
+                )
+                .where(F.col("__n") > 1)
+                .select(
+                    *key_sel,
+                    F.lit("uniqueness").alias("constraint_id"),
+                    F.lit("duplicate key").alias("detail"),
+                    F.explode(F.sequence(F.lit(2), F.col("__n"))).alias("__i"),
+                )
+                .drop("__i")
+            )
+            out = out.unionByName(dup)
+        return out
 
     # -- partition rollup ----------------------------------------------
     def partition_metrics(
         self,
-        df: DataFrame,
+        rows: DataFrame,
         violations: DataFrame,
         drift: DataFrame | None,
     ) -> DataFrame:
+        """Rollup from per-partition row counts (``rows``: part + rows),
+        the violations set, and optional drift rows.  ``rows`` comes fused
+        out of the drift histogram scan when drift is configured — no
+        dedicated scan of the input."""
         cfg = self.config
         part = cfg.part_col
-        rows = df.groupBy(part).agg(F.count(F.lit(1)).alias("rows"))
         viol = (
             violations.groupBy(part, "constraint_id")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -180,23 +203,65 @@ class ValidationRunner:
 
     # -- end to end ------------------------------------------------------
     def validate(self, df: DataFrame, persist_violations: bool = True) -> ValidationResult:
+        """Single-decode pipeline: ONE projection evaluates the rule DAG and
+        the drift bucket indices over the heavy columns (``content`` is
+        decompressed and decoded exactly once), is persisted, and every
+        downstream consumer — verdict output, violation explode, uniqueness
+        hash-agg, per-partition row counts + drift histograms — reads the
+        slim cached base (keys + verdict + a few ints per row).  The cache
+        is columnar (InMemoryRelation), so consumers still get column
+        pruning; with ``persist_violations=False`` (warmup / foreachBatch
+        micro-batches) the base stays unpersisted and Catalyst recomputes
+        it per action, which is the right call for small batches.
+
+        Shuffle budget: uniqueness hash-agg on the key columns (sort-free),
+        histogram agg of n_parts x n_buckets longs, violations rollup.
+        No full-row sort anywhere.
+        """
         cfg = self.config
-        verdicts = self.row_verdicts(df)
-        violations = self.violations(df, verdicts)
+        compiled = compile_ruleset(cfg.ruleset, df, cfg.scorers)
+        key_sel = [*cfg.key_cols, cfg.part_col]
+        base_cols = [
+            *key_sel,
+            compiled.verdict_id.alias("verdict_id"),
+            compiled.verdict.alias("verdict"),
+        ]
+        has_drift = cfg.drift_spec is not None and cfg.drift_baseline is not None
+        if has_drift:
+            from .drift import bucket_projection
+
+            base_cols += bucket_projection(cfg.drift_spec, [])
+        base = df.select(*base_cols)
+        if persist_violations:
+            base = base.persist()
+        verdicts = base.select(*key_sel, "verdict_id", "verdict")
+        violations = self.violations(base, verdicts)
         if persist_violations:
             # violations are consumed twice (sink write + metrics rollup) and
             # are orders of magnitude smaller than the input: persist so the
-            # rule/uniqueness/referential passes run once, not twice.
+            # explode/filter passes over the base run once, not twice.
             violations = violations.persist()
         drift = None
-        if cfg.drift_spec is not None and cfg.drift_baseline is not None:
-            drift = drift_by_partition(
-                df, cfg.part_col, cfg.drift_spec, cfg.drift_baseline
+        if has_drift:
+            # rows-per-partition rides the SAME aggregation as the histograms
+            hist = partition_histograms(
+                base, cfg.part_col, cfg.drift_spec,
+                extra_aggs=[F.count(F.lit(1)).alias("__rows")],
+                prebucketed=True,
             )
             if persist_violations:
-                drift = drift.persist()  # n_parts x n_cols rows, reused by metrics
-        metrics = self.partition_metrics(df, violations, drift)
-        return ValidationResult(verdicts, violations, metrics, drift)
+                hist = hist.persist()  # n_parts rows, read by rows AND drift
+            rows = hist.select(cfg.part_col, F.col("__rows").alias("rows"))
+            drift = drift_from_histograms(
+                hist, cfg.part_col, cfg.drift_spec, cfg.drift_baseline
+            )
+        else:
+            rows = base.groupBy(cfg.part_col).agg(F.count(F.lit(1)).alias("rows"))
+        metrics = self.partition_metrics(rows, violations, drift)
+        return ValidationResult(
+            verdicts, violations, metrics, drift,
+            base=base if persist_violations else None,
+        )
 
     def checkpoint_rows(self, metrics: DataFrame, dag_version: str) -> DataFrame:
         cfg = self.config

@@ -17,11 +17,50 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from .dedup import cosine_expr
+
+
+def two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per query WITHOUT a global per-query window.
+
+    A ``row_number().over(Window.partitionBy(query_id))`` shuffles every
+    scored (item x query) row into n_queries reducer partitions — one
+    reducer holds the full item set per query, the scale-killer at 100x
+    items.  Instead:
+
+    stage 1 (map-side): groupBy(query_id, spark_partition_id) keeps only the
+      k best candidates per input partition — the aggregation completes
+      map-side because the grouping key contains the partition id, so the
+      shuffle carries n_partitions x n_queries x k structs, independent of
+      item count;
+    stage 2: merge the tiny partials per query and take the global top k.
+
+    Top-k is a monotone selection, so pruning to k per partition is exact.
+    Ordering: cosine DESC, item_id ASC (ties) — encoded as an ascending
+    struct sort on (-cosine, item_id).
+    """
+    neg = F.struct(
+        (-F.col("cosine")).alias("negcos"), F.col("item_id").alias("item_id")
+    )
+    partial = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .groupBy("query_id", "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list(neg)), 1, k).alias("cand"))
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, k).alias("top")
+    )
+    return merged.select("query_id", F.posexplode("top").alias("pos", "c")).select(
+        "query_id",
+        F.col("c.item_id").alias("item_id"),
+        # +0.0 normalizes IEEE -0.0 back to 0.0 after the sign flip
+        (-F.col("c.negcos") + F.lit(0.0)).alias("cosine"),
+        (F.col("pos") + 1).alias("rank"),
+    )
 
 
 def brute_force_topk(
@@ -32,7 +71,8 @@ def brute_force_topk(
     query_id: str = "query_id",
     emb: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query (queries broadcast, items streamed)."""
+    """Exact cosine top-k per query (queries broadcast, items streamed;
+    per-partition partial top-k, no global window — see two_stage_topk)."""
     i = items.select(
         F.col(item_id).alias("item_id"), F.col(emb).cast("array<double>").alias("i_emb")
     )
@@ -44,12 +84,7 @@ def brute_force_topk(
         "item_id",
         cosine_expr(F.col("i_emb"), F.col("q_emb")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "item_id", "cosine", "rank")
-    )
+    return two_stage_topk(scored, k)
 
 
 def _nearest_centroid_udf(centroids: np.ndarray, nprobe: int = 1):
@@ -103,9 +138,4 @@ def ivf_topk(
         "item_id",
         cosine_expr(F.col("i_emb"), F.col("q_emb")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "item_id", "cosine", "rank")
-    )
+    return two_stage_topk(scored, k)

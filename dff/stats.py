@@ -147,6 +147,7 @@ def salted_grouped_stats(
     value: str,
     salt_buckets: int = 16,
     seed: int = 42,
+    include_approx_distinct: bool = True,
 ) -> DataFrame:
     """Two-stage salted aggregation (north-rule skew handling).
 
@@ -165,34 +166,35 @@ def salted_grouped_stats(
     )
     # F.rand gives run-to-run determinism with a seed but varies per row,
     # spreading identical keys across buckets.
-    partial = (
-        df.withColumn("__salt", salt)
-        .groupBy(*keys, "__salt")
-        .agg(
-            F.count(F.lit(1)).alias("p_rows"),
-            F.count(v).alias("p_nonnull"),
-            F.sum(v).alias("p_sum"),
-            F.sum(v * v).alias("p_sum2"),
-            F.min(v).alias("p_min"),
-            F.max(v).alias("p_max"),
-            F.hll_sketch_agg(F.col(value).cast("string")).alias("p_hll"),
-        )
-    )
-    merged = partial.groupBy(*keys).agg(
+    partial_aggs = [
+        F.count(F.lit(1)).alias("p_rows"),
+        F.count(v).alias("p_nonnull"),
+        F.sum(v).alias("p_sum"),
+        F.sum(v * v).alias("p_sum2"),
+        F.min(v).alias("p_min"),
+        F.max(v).alias("p_max"),
+    ]
+    merge_aggs = [
         F.sum("p_rows").alias("rows"),
         F.sum("p_nonnull").alias("non_null"),
         F.sum("p_sum").alias("sum"),
         F.sum("p_sum2").alias("sum2"),
         F.min("p_min").alias("min"),
         F.max("p_max").alias("max"),
-        F.hll_union_agg("p_hll").alias("hll"),
-    )
+    ]
+    if include_approx_distinct:
+        partial_aggs.append(
+            F.hll_sketch_agg(F.col(value).cast("string")).alias("p_hll")
+        )
+        merge_aggs.append(F.hll_union_agg("p_hll").alias("hll"))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    merged = partial.groupBy(*keys).agg(*merge_aggs)
     n = F.col("non_null")
     mean = F.when(n > 0, F.col("sum") / n)
     var = F.when(
         n > 1, (F.col("sum2") - F.col("sum") * F.col("sum") / n) / (n - 1)
     )
-    return merged.select(
+    out_cols = [
         *keys,
         F.col("rows"),
         n.alias("non_null"),
@@ -200,5 +202,7 @@ def salted_grouped_stats(
         F.col("max"),
         mean.alias("mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
-        F.hll_sketch_estimate("hll").alias("approx_distinct"),
-    )
+    ]
+    if include_approx_distinct:
+        out_cols.append(F.hll_sketch_estimate("hll").alias("approx_distinct"))
+    return merged.select(*out_cols)

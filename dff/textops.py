@@ -57,16 +57,18 @@ def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Col
     return F.when(toks > 0, hits / toks).otherwise(F.lit(0.0))
 
 
-def quality_score(col: str | Column) -> Column:
+def quality_score(col: str | Column, decimals: int | None = 6) -> Column:
     """Heuristic [0,1] document-quality score from length / punctuation /
-    stopword ratios (logistic blend; deterministic, expression-only)."""
+    stopword ratios (logistic blend; deterministic, expression-only).
+    ``decimals=None`` returns the raw double (cross-engine comparisons
+    should round once, through a decimal cast, at the outermost layer)."""
     c = F.col(col) if isinstance(col, str) else col
     length_score = F.least(F.lit(1.0), F.length(c) / F.lit(2000.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4.0)
     stop = stopword_ratio(c)
     stop_score = F.least(F.lit(1.0), stop * 5.0)
     raw = 0.5 * length_score + 0.3 * punct_pen + 0.2 * stop_score
-    return F.round(raw, 6)
+    return F.round(raw, decimals) if decimals is not None else raw
 
 
 def lang_id(col: str | Column, markers: dict[str, list[str]] | None = None) -> Column:

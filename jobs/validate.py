@@ -46,11 +46,33 @@ DEFAULT_RULES = {
 def build_session(parallelism: int | None, app: str = "dff-validate") -> SparkSession:
     b = SparkSession.builder.appName(app)
     if parallelism:
+        # Fixed, pre-touched heap (-Xms == -Xmx + AlwaysPreTouch): without it
+        # G1 repeatedly uncommits and recommits heap regions, and every
+        # recommit re-faults pages.  On virtualized hosts (Firecracker/UFFD-
+        # backed memory) those faults run ~100x slower than native — measured
+        # here as executor threads at ~90% SYSTEM time and a 13x wall-time
+        # collapse at local[32] (2.5s/pass pre-touched vs 50-115s growing).
+        mem = os.environ.get("DFF_DRIVER_MEM", "16g")
         b = (
             b.master(f"local[{parallelism}]")
             .config("spark.sql.shuffle.partitions", str(2 * parallelism))
-            .config("spark.driver.memory", os.environ.get("DFF_DRIVER_MEM", "48g"))
+            .config("spark.driver.memory", mem)
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Xms{mem} -XX:+AlwaysPreTouch",
+            )
         )
+    # Shuffle/spill files go to tmpfs: this sandbox's disk writes at
+    # ~15 MB/s (measured, with heavy kernel time), so any GB-scale shuffle
+    # to /tmp becomes a parallelism-independent wall — tmpfs restores the
+    # local-SSD behavior every real cluster node has.
+    local_dir = os.environ.get("DFF_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     return (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -142,10 +164,13 @@ def main(argv: list[str] | None = None) -> dict:
             return {"status": "already-complete"}
     else:
         result = runner.validate(df)
-        # materialize the persisted violations once (single cache fill),
-        # then run the independent output actions CONCURRENTLY — Spark's
-        # scheduler interleaves their stages, filling cores a single
-        # sequential action chain would leave idle.
+        # materialize the persisted base FIRST (single decode of the heavy
+        # columns; downstream actions read the columnar cache), then run
+        # the independent output actions CONCURRENTLY — Spark's scheduler
+        # interleaves their stages, filling cores a single sequential
+        # action chain would leave idle.
+        if result.base is not None:
+            result.base.count()
         result.violations.count()
         from concurrent.futures import ThreadPoolExecutor
 

@@ -77,6 +77,21 @@ def test_rule_pass_is_whole_stage_codegen_no_shuffle(spark):
     assert "Exchange" not in plan  # pure map-side
 
 
+def test_ann_topk_has_no_global_window(spark):
+    """brute_force_topk must NOT shuffle n_items x n_queries scored rows
+    into n_queries window partitions: the executed plan has no Window node,
+    and stage 1 is a partial aggregate keyed by spark_partition_id."""
+    from dff.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(brute_force_topk(emb, q, k=5))
+    assert "Window" not in plan, plan
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+
+
 def test_multi_stat_agg_single_exchange(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     agg = li.agg(
