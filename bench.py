@@ -144,6 +144,22 @@ def main() -> None:
     qdict = entrymod.queries()
     # warmup (JIT, codegen, parquet footer cache)
     _materialize(qdict["stats_onepass"](spark, sf_dir))
+    # warm the Python worker pool: the FIRST Arrow/pandas-UDF stage forks
+    # cpus workers which each import pandas+numpy — ~95s cold on this
+    # sandbox's 15 MB/s disk, ~0s once the pool exists (workers are reused)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    _materialize(
+        spark.range(cpus * 4)
+        .repartition(cpus * 2)
+        .select(_warm(F.col("id").cast("double")).alias("v"))
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

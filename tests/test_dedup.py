@@ -115,6 +115,48 @@ def test_embedding_near_dups_on_testdata(spark):
         assert r["cosine"] >= 0.999
 
 
+def test_hot_bucket_cap_no_quadratic_blowup(spark):
+    """Adversarial fixture: 300 byte-identical boilerplate docs would give
+    300*299/2 ≈ 45k in-bucket pairs per table.  With the bucket cap the
+    boilerplate bucket is dropped (those belong to exact dedup), the stage
+    stays linear, and a planted near-dup pair living in cold buckets is
+    still found."""
+    rows = [(i, BASE) for i in range(300)]
+    other = ("completely unrelated text about cooking pasta with fresh basil "
+             "and olive oil in a small kitchen on a sunday afternoon")
+    rows += [(1000, other), (1001, other)]  # identical pair in a COLD bucket
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=6, prefix_bits=8,
+        n_tables=2, max_bucket_size=100,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1000, 1001) in found
+    # no pair from the capped boilerplate bucket survives
+    assert not any(a < 300 and b < 300 for a, b in found)
+    # minhash path: same fixture, same cap behavior
+    mh = minhash_dedup_pairs(
+        df, "doc_id", "text", num_hashes=32, bands=8,
+        threshold=0.5, max_bucket_size=100,
+    ).collect()
+    mh_found = {(r["id_a"], r["id_b"]) for r in mh}
+    assert (1000, 1001) in mh_found
+    assert not any(a < 300 and b < 300 for a, b in mh_found)
+
+
+def test_simhash_multi_table_recall_superset(spark):
+    """Two rotation tables find at least everything one table finds (on a
+    corpus with no hot buckets)."""
+    df = _corpus(spark)
+    one = {(r["id_a"], r["id_b"]) for r in simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=20, prefix_bits=16, n_tables=1
+    ).collect()}
+    two = {(r["id_a"], r["id_b"]) for r in simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=20, prefix_bits=16, n_tables=2
+    ).collect()}
+    assert one <= two
+
+
 def test_arrow_signature_matches_expression(spark):
     """The numpy fast path must be bit-for-bit identical to the pure
     Catalyst expression path."""
