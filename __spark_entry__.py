@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship rule-DAG verdict query at sf0.001.
 ``queries()`` registers every implemented operator from SURVEY.md §2 plus
 the training-data ops; ``oracle_sql()`` carries the DuckDB-equivalent ANSI
-SQL for each (omitted only for ops whose primitives differ across engines:
-MinHash/SimHash/hyperplane-LSH use Spark's xxhash64, and approximate
-aggregates use engine-specific sketches — those get rows-only checks).
+SQL for each.  Only three queries are rows-only (no cross-engine oracle):
+MinHash/SimHash/IVF near-dup, whose primitives (xxhash64 shingles, SimHash
+bit packing, trained IVF cells) have no DuckDB twin — their invariants are
+pytest-pinned instead (planted-dup recall, expression-vs-Arrow bit
+identity, IVF ⊆ brute-force recall).
 
 Float policy: every cross-engine aggregate/computed double is rounded to 4
 decimals on BOTH sides so last-ulp summation-order differences can't break
@@ -409,6 +411,32 @@ def q_minhash_near_dups(spark, sf_dir):
     )
 
 
+def q_minhash_precision_violations(spark, sf_dir):
+    """Driver-checkable MinHash INVARIANT (VERDICT r01 §missing-2): every
+    LSH pair estimated at jaccard >= 0.5 must have EXACT shingle-set
+    jaccard >= 0.2 (64 hashes -> sigma ~ 0.0625; 0.3 of slack is > 4
+    sigma).  The query returns the violating pairs — expected EMPTY, and
+    an empty frame hash-compares cleanly against the empty-set oracle."""
+    from dff.dedup import shingle_hashes_32
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    sh = d.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(shingle_hashes_32("text", 9)).alias("s"),
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("s").alias("s_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    union_sz = F.size(F.array_union("s_a", "s_b"))
+    exact_j = F.when(
+        union_sz > 0, F.size(F.array_intersect("s_a", "s_b")) / union_sz
+    ).otherwise(F.lit(1.0))
+    return joined.where(exact_j < 0.2).select("id_a", "id_b")
+
+
 def q_simhash_near_dups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=10, prefix_bits=8)
@@ -484,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "salted_stats": q_salted_stats,
         "quality_scores": q_quality_scores,
+        "minhash_precision_violations": q_minhash_precision_violations,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / hyperplane LSH have no cross-engine twin)
         "minhash_near_dups": q_minhash_near_dups,
@@ -653,6 +682,11 @@ def oracle_sql() -> dict[str, str]:
                 WHEN s_en >= s_de THEN 'en'
                 ELSE 'de' END AS lid FROM scored)
             SELECT lid, count(*) AS n FROM best GROUP BY lid
+        """,
+        # invariant oracle: the violating-pairs set must be EMPTY
+        "minhash_precision_violations": """
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+            WHERE 1 = 0
         """,
         "salted_stats": """
             SELECT lang, count(*) AS rows, count(n_chars) AS non_null,

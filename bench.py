@@ -126,8 +126,16 @@ def bench_validation_pipeline(spark: SparkSession, src_path: str, tmp: str) -> f
     )
     runner = ValidationRunner(cfg)
     store = CheckpointStore(spark, os.path.join(tmp, "ckpt"))
+    # warm the validation path itself (JIT, codegen, Python workers for the
+    # drift applyInPandas) on a slice — excluded from timing, so the
+    # recorded number is steady-state, not first-run compilation
+    warm = runner.validate(df.limit(20000), persist_violations=False)
+    _materialize(warm.violations)
+    warm.partition_metrics.collect()
     t0 = time.perf_counter()
     result = runner.validate(df)
+    if result.base is not None:
+        result.base.count()  # single decode; downstream actions read cache
     _materialize(result.verdicts)
     _materialize(result.violations)
     store.append(runner.checkpoint_rows(result.partition_metrics, "bench-v1"))

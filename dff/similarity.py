@@ -87,6 +87,26 @@ def brute_force_topk(
     return two_stage_topk(scored, k)
 
 
+def _spherical_kmeans(x: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Tiny driver-side spherical k-means (cosine) for IVF centroid
+    training.  Deterministic: seeded init from the sample itself; empty
+    clusters re-seeded from the least-covered points."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ c.T                      # (n, k)
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:  # re-seed empty cluster with the worst-covered point
+                c[j] = x[np.argmin(np.max(sims, axis=1))]
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
 def _nearest_centroid_udf(centroids: np.ndarray, nprobe: int = 1):
     """Arrow-batched assignment to the nprobe nearest centroids (cosine)."""
     c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
@@ -114,14 +134,31 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed ANN: items live in one centroid list; queries probe
     ``nprobe`` lists.  Recall < 1 by design; larger nprobe -> closer to
-    brute force (asserted within tests)."""
-    # deterministic centroid sample (first n_centroids by id)
-    cent_rows = (
-        items.orderBy(F.col(item_id)).limit(n_centroids)
-        .select(F.col(emb).cast("array<double>"))
+    brute force (asserted within tests).
+
+    Centroids are trained with a few spherical k-means iterations on a
+    small DETERMINISTIC sample (hash-selected, partitioning-independent) —
+    the sample and the iteration count are bounded, so driver work is O(
+    sample x iters x dim) regardless of table size; only the final
+    centroid matrix ships to executors inside the Arrow-batched
+    assignment UDF.
+    """
+    sample_rows = (
+        items.select(F.col(item_id).alias("_id"), F.col(emb).cast("array<double>").alias("_e"))
+        .where(F.pmod(F.xxhash64(F.col("_id"), F.lit("ivf")), F.lit(997)) < F.lit(512))
+        .limit(max(n_centroids * 64, 1024))
         .collect()
     )
-    centroids = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    sample = np.array([r["_e"] for r in sample_rows], dtype=np.float64)
+    if len(sample) < n_centroids:  # tiny tables: fall back to first-k rows
+        cent_rows = (
+            items.orderBy(F.col(item_id)).limit(n_centroids)
+            .select(F.col(emb).cast("array<double>"))
+            .collect()
+        )
+        centroids = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    else:
+        centroids = _spherical_kmeans(sample, n_centroids, iters=8)
 
     assign1 = _nearest_centroid_udf(centroids, nprobe=1)
     assignp = _nearest_centroid_udf(centroids, nprobe=nprobe)

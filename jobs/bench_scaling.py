@@ -71,6 +71,13 @@ def run_once(parallelism: int, data: str) -> dict:
         "--parallelism", str(parallelism),
         "--bench",
     ]
+    # Pin the WHOLE process tree (JVM task threads + GC + shuffle IO +
+    # Python workers) to exactly `parallelism` cores.  Without affinity,
+    # local[N]'s auxiliary threads run on spare host cores, so a local[2]
+    # job really consumes ~3 cores and the N-vs-4N comparison understates
+    # true executor scaling; a real N-core executor is confined to N cores.
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{parallelism - 1}"] + cmd
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
     )

@@ -101,6 +101,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--n-repos", type=int, default=2000)
     ap.add_argument("--skew", action="store_true", help="skew-stress dataset")
     ap.add_argument("--no-drift", action="store_true")
+    ap.add_argument("--report", action="store_true",
+                    help="print the rule-DAG dump + per-constraint hit report")
     ap.add_argument("--bench", action="store_true", help="print one timing JSON line")
     args = ap.parse_args(argv)
 
@@ -189,11 +191,20 @@ def main(argv: list[str] | None = None) -> dict:
             fm = pool.submit(result.partition_metrics.collect)
             fv.result(), fw.result()
             metrics = fm.result()
-        print(json.dumps(_summary(metrics, time.perf_counter() - t0, args)))
+        wall = time.perf_counter() - t0
+        if args.report:
+            from dff.report import render_report
+
+            print(render_report(ruleset, result.partition_metrics), file=sys.stderr)
+        print(json.dumps(_summary(metrics, wall, args)))
         spark.stop()
-        return _summary(metrics, time.perf_counter() - t0, args)
+        return _summary(metrics, wall, args)
     metrics = result.partition_metrics.collect()
     out = _summary(metrics, time.perf_counter() - t0, args)
+    if args.report:
+        from dff.report import render_report
+
+        print(render_report(ruleset, result.partition_metrics), file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     return out
