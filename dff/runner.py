@@ -86,16 +86,25 @@ class ValidationRunner:
         marks rule hits; a row's violations explode into one output row per
         violated constraint.  Zero shuffle of the fact table.
 
-        Branch 2 (uniqueness): a SORT-FREE hash aggregation
-        ``groupBy(unique_keys).count()`` — emits (count-1) violation rows
-        per duplicated key via ``explode(sequence(...))``.  Earlier versions
-        used ``row_number`` over a window keyed on the unique keys: that
-        shuffles and SORTS every row of the table (memory-bound, poor
-        scaling, and the rank among identical copies is arbitrary anyway —
-        copies agree on every ordering column).  The hash aggregate shuffles
-        only the key columns (Parquet column pruning keeps the scan narrow),
-        never sorts, and produces the identical violation multiset
-        (asserted by the resume/parity tests).
+        Branch 2 (uniqueness): HASH-COMPRESSED two-pass duplicate detection.
+        Pass 1 aggregates ``xxhash64(unique_keys)`` — an 8-byte long per
+        row instead of ~90 bytes of key strings, so the only full-table
+        shuffle in the whole engine shrinks ~10x and the aggregation hash
+        map compares longs, not strings (measured 53s -> 6s on 16M rows at
+        local[8]; the string variant was a parallelism-independent wall).
+        Pass 2 makes it EXACT despite hash collisions: the duplicated-hash
+        set (tiny — violations are the exception by assumption) broadcasts
+        into a map-side semi join, and only the surviving rows re-group on
+        the TRUE key columns; (count-1) violation rows per duplicated key
+        come out of ``explode(sequence(...))``.  No sort anywhere, and the
+        fact table never shuffles its strings.  Earlier versions used
+        ``row_number`` over a window (full-table shuffle + SORT) and then a
+        plain string groupBy — both produce the identical violation
+        multiset (asserted by the resume/parity tests).
+
+        Note the broadcast assumes duplicate keys are rare (a constraint
+        violation, not the norm).  Corpus-scale dedup — where most rows may
+        be duplicates — is dff.dedup's job, not a uniqueness constraint.
         """
         cfg = self.config
         key_sel = [*cfg.key_cols, cfg.part_col]
@@ -134,9 +143,19 @@ class ValidationRunner:
         if cfg.unique_keys:
             uniq_keys = list(cfg.unique_keys)
             extra = [c for c in key_sel if c not in uniq_keys and c != cfg.part_col]
+            key_hash = F.xxhash64(*uniq_keys)
+            dup_hashes = (
+                df.select(key_hash.alias("__h"))
+                .groupBy("__h")
+                .agg(F.count(F.lit(1)).alias("__hn"))
+                .where(F.col("__hn") > 1)
+                .select("__h")
+            )
+            survivors = df.select(
+                *uniq_keys, cfg.part_col, *extra, key_hash.alias("__h")
+            ).join(F.broadcast(dup_hashes), "__h", "left_semi")
             dup = (
-                df.select(*uniq_keys, cfg.part_col, *extra)
-                .groupBy(*uniq_keys)
+                survivors.groupBy(*uniq_keys)
                 .agg(
                     F.count(F.lit(1)).alias("__n"),
                     # copies agree on part/extra key cols by construction;

@@ -1,0 +1,53 @@
+"""Managed-table sink / temp view / drop-table surface (SURVEY.md §2.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dff.catalog import drop_table, register_view, save_managed, table_exists
+from dff.sources import synthetic_source_files
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return synthetic_source_files(spark, 2000, n_repos=50, seed=7).select(
+        "repo", "path", "commit", "lang", "part_id"
+    )
+
+
+def test_save_read_drop_roundtrip(spark, small):
+    save_managed(small, "t_roundtrip")
+    assert table_exists(spark, "t_roundtrip")
+    got = spark.table("t_roundtrip")
+    assert got.count() == small.count()
+    assert got.schema == small.schema
+    drop_table(spark, "t_roundtrip")
+    assert not table_exists(spark, "t_roundtrip")
+
+
+def test_bucketed_table_agg_has_no_exchange(spark, small):
+    """The point of bucketing: groupBy on the bucket key reads pre-shuffled
+    buckets, so the executed plan has NO Exchange before the final agg."""
+    save_managed(small, "t_bucketed", bucket_cols=["repo"], n_buckets=8)
+    try:
+        agg = spark.table("t_bucketed").groupBy("repo").agg(F.count(F.lit(1)))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(repo" not in plan
+        # and it still computes the right answer
+        assert agg.count() == small.select("repo").distinct().count()
+    finally:
+        drop_table(spark, "t_bucketed")
+
+
+def test_temp_view_sql(spark, small):
+    register_view(small, "v_small")
+    n = spark.sql("SELECT count(*) AS n FROM v_small WHERE lang = 'python'").first()["n"]
+    assert n == small.where(F.col("lang") == "python").count()
+
+
+def test_create_or_replace_overwrites(spark, small):
+    save_managed(small.limit(100), "t_replace")
+    save_managed(small.limit(25), "t_replace")
+    try:
+        assert spark.table("t_replace").count() == 25
+    finally:
+        drop_table(spark, "t_replace")
