@@ -281,6 +281,25 @@ def q_union_distinct(spark, sf_dir):
     return c.unionByName(s).distinct()
 
 
+def q_except_all(spark, sf_dir):
+    """Multiset difference (set-op family): nation keys with more customers
+    than suppliers, one row per surplus customer-nation slot."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+def q_rollup_grouping(spark, sf_dir):
+    """ROLLUP multi-level aggregation with grouping_id — subtotal + grand
+    total levels in one pass (Catalyst Expand, no re-scan per level)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
 def q_monthly_rollup(spark, sf_dir):
     """Timestamp truncation + two-key rollup over the events stream table."""
     e = _t(spark, sf_dir, "events")
@@ -501,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit": q_sort_limit,
         "distinct": q_distinct,
         "union_distinct": q_union_distinct,
+        "except_all": q_except_all,
+        "rollup_grouping": q_rollup_grouping,
         "monthly_rollup": q_monthly_rollup,
         "dup_keys": q_dup_keys,
         "event_gaps": q_event_gaps,
@@ -626,6 +647,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT nationkey FROM (
                 SELECT c_nationkey AS nationkey FROM customer
                 UNION ALL SELECT s_nationkey FROM supplier)
+        """,
+        "except_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL SELECT s_nationkey FROM supplier
+        """,
+        "rollup_grouping": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "monthly_rollup": """
             SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month, event_type,

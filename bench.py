@@ -134,8 +134,9 @@ def bench_validation_pipeline(spark: SparkSession, src_path: str, tmp: str) -> f
     warm.partition_metrics.collect()
     t0 = time.perf_counter()
     result = runner.validate(df)
-    if result.base is not None:
-        result.base.count()  # single decode; downstream actions read cache
+    # one action fills base + violations caches in a single decode pass;
+    # the remaining actions read warm caches (see jobs/validate.py)
+    result.violations.count()
     _materialize(result.verdicts)
     _materialize(result.violations)
     store.append(runner.checkpoint_rows(result.partition_metrics, "bench-v1"))

@@ -166,18 +166,26 @@ def write_report(results: dict) -> None:
         "each level runs in its own JVM; the page cache is pre-warmed (the",
         "sandbox evicts it, and a cold 790MB read costs minutes on this disk).",
         "",
-        "Why N=4 / 4N=16 and not 8/32: this sandbox is a VM on a shared host",
-        "whose SUSTAINED all-core capacity is ~17 effective cores (measured:",
-        "a 32-process sha256 burn peaks at ~3.1M hashes/5s, then settles at",
-        "~1.75M).  A 32-thread level is physically capped at ~2.1x the",
-        "8-thread level regardless of engine quality, so 4/16 is the honest",
-        "in-sandbox realization of the N-vs-4N executor comparison; a real",
-        "multi-executor cluster does not share one host's memory bus.",
-        "Two engine-side fixes this round also mattered at ALL widths:",
-        "a fixed pre-touched JVM heap (-Xms=-Xmx + AlwaysPreTouch; G1's",
-        "uncommit/recommit page-faulting collapsed 32-thread throughput 13x",
-        "on virtualized memory) and fusing the per-partition row count into",
-        "the drift-histogram scan (one fewer full-table pass).",
+        f"Why N={N_LOW} / 4N={N_HIGH} and not 8/32: this sandbox is a VM on a",
+        "shared host whose SUSTAINED all-core capacity is ~17 effective cores",
+        "(measured: a 32-process sha256 burn peaks at ~3.1M hashes/5s, then",
+        "settles at ~1.75M).  A 32-thread level is physically capped at ~2.1x",
+        f"the 8-thread level regardless of engine quality, so {N_LOW}/{N_HIGH}",
+        "— with each run's WHOLE process tree (task threads + GC + shuffle IO",
+        "+ Python workers) taskset-pinned to exactly N cores, so the low",
+        "level can't borrow spare host cores — is the honest in-sandbox",
+        "realization of the N-vs-4N executor comparison; a real multi-",
+        "executor cluster does not share one host's memory bus.",
+        "Engine-side scaling fixes, in order of impact: hash-compressed",
+        "uniqueness dup detection (xxhash64(keys) agg + broadcast-semi exact",
+        "confirm: the engine's only full-table string shuffle, 53s -> 6s on",
+        "16M rows at local[8]); a fixed pre-touched JVM heap (-Xms=-Xmx +",
+        "AlwaysPreTouch; G1's uncommit/recommit page-faulting collapsed",
+        "32-thread throughput 13x on virtualized memory); single-action",
+        "cache fill (violations.count() materializes base + violations in",
+        "one decode pass; the old separate base.count() was a fixed extra",
+        "job that taxed the high level proportionally more); fusing the",
+        "per-partition row count into the drift-histogram scan.",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -166,13 +166,13 @@ def main(argv: list[str] | None = None) -> dict:
             return {"status": "already-complete"}
     else:
         result = runner.validate(df)
-        # materialize the persisted base FIRST (single decode of the heavy
-        # columns; downstream actions read the columnar cache), then run
-        # the independent output actions CONCURRENTLY — Spark's scheduler
-        # interleaves their stages, filling cores a single sequential
-        # action chain would leave idle.
-        if result.base is not None:
-            result.base.count()
+        # ONE sequential action fills BOTH caches: the violations count's
+        # first stage computes the persisted base partitions (single decode
+        # of the heavy columns) as a side effect of scanning them, and its
+        # later stages read that cache — no separate base.count() job, no
+        # extra cache pass.  Then the independent output actions run
+        # CONCURRENTLY against warm caches — Spark's scheduler interleaves
+        # their stages, filling cores a single sequential chain would idle.
         result.violations.count()
         from concurrent.futures import ThreadPoolExecutor
 
