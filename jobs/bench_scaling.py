@@ -117,8 +117,18 @@ def main() -> None:
     ensure_data()
     print(f"data ready ({time.time()-t0:.0f}s)", file=sys.stderr)
 
+    # results merge into a sidecar so a partial rerun (e.g. only the skew
+    # dataset, after a host noise spike polluted its repeats) updates the
+    # report without re-measuring the other dataset
+    sidecar = os.path.join(REPO, "BENCH", "scaling_results.json")
     results = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            results = json.load(f)
+    wanted = os.environ.get("DFF_SCALING_DATASETS", "uniform,skew").split(",")
     for tag, data in [("uniform", DATA), ("skew", DATA_SKEW)]:
+        if tag not in wanted:
+            continue
         low, high = run_pair(data)
         eff = (low["wall_sec"] / high["wall_sec"]) / (N_HIGH / N_LOW)
         results[tag] = {
@@ -131,6 +141,9 @@ def main() -> None:
         }
         print(json.dumps({tag: results[tag]}))
 
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(sidecar, "w") as f:
+        json.dump(results, f, indent=1)
     write_report(results)
 
 
