@@ -156,19 +156,33 @@ def main() -> None:
     # warm the Python worker pool: the FIRST Arrow/pandas-UDF stage forks
     # cpus workers which each import pandas+numpy — ~95s cold on this
     # sandbox's 15 MB/s disk, ~0s once the pool exists (workers are reused)
-    import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("double")
-    def _warm(v: pd.Series) -> pd.Series:
-        return v * 1.0
+    # no type hints: `from __future__ import annotations` turns them into
+    # strings that pandas_udf can't resolve against a local pandas import
+    _warm = pandas_udf(lambda v: v * 1.0, "double")
 
     _materialize(
         spark.range(cpus * 4)
         .repartition(cpus * 2)
         .select(_warm(F.col("id").cast("double")).alias("v"))
     )
+    # compile the shingle/minhash codegen units on a small slice: the LSH
+    # expression tree Janino-compiles in tens of seconds the FIRST time
+    # (measured 35.9s -> 9.6s -> 3.4s across identical runs); the compiled
+    # classes are cached by generated source, so a 300-doc warmup buys the
+    # steady-state timing for the full corpus
+    from dff.dedup import minhash_dedup_pairs
+
+    for warm_docs in (300, 1000):  # pass 1 Janino-compiles, pass 2 tiers C2
+        _materialize(
+            minhash_dedup_pairs(
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+                .limit(warm_docs),
+                "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+            )
+        )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
