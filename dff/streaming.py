@@ -1,13 +1,21 @@
-"""Structured Streaming wrapper: incremental validation via foreachBatch.
+"""Structured Streaming surface: foreachBatch incremental validation,
+watermarked event-time violation windows, and a stateful session operator.
 
 The reference scores request/response single records
 (/root/reference/02_dff_orchestration.py:311-341, widget-driven) — there is
 no true streaming there (SURVEY.md §2.6).  Our engine's incremental story is
-checkpoint/resume; this module adds the optional streaming surface: each
-micro-batch flows through the SAME compiled rule DAG (one vectorized select)
-and appends violations + checkpoint rows, so batch and streaming share one
-code path.  Watermark/event-time aggregation can be layered on the verdicts
-stream by callers.
+checkpoint/resume; this module adds the optional streaming surface:
+
+- :func:`validate_stream` — each micro-batch flows through the SAME compiled
+  rule DAG (one vectorized select) and appends violations + checkpoint rows,
+  so batch and streaming share one code path.
+- :func:`windowed_violation_counts` — a streaming-NATIVE plan
+  (readStream -> rule select -> withWatermark -> window groupBy): per
+  event-time window per constraint violation counts, late data beyond the
+  watermark dropped by the engine, state bounded by the watermark.
+- :func:`sessionize_events` — custom stateful operator via
+  ``applyInPandasWithState``: per-key session assembly with gap timeout,
+  the Arrow-batched stand-in for any reference operator Spark lacks.
 """
 
 from __future__ import annotations
@@ -15,6 +23,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from .runner import ValidationRunner
@@ -50,3 +60,133 @@ def validate_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_violation_counts(
+    stream_df: DataFrame,
+    runner: ValidationRunner,
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Streaming-native windowed rollup of rule violations with late-data
+    handling — no foreachBatch, so Spark manages the aggregation state.
+
+    Plan: rule select (map-only, same compiled DAG as batch) ->
+    ``withWatermark`` -> tumbling-``window`` groupBy count.  Events later
+    than ``watermark_delay`` behind the max seen event time are DROPPED by
+    the engine (asserted in tests), and window state older than the
+    watermark is evicted — bounded state at unbounded runtime, which is
+    what makes this shape safe on an infinite source.
+
+    Returns an unstarted streaming DataFrame:
+    ``(window struct, verdict_id, n)``; attach ``.writeStream`` (append
+    output mode works because the watermark closes windows).
+    """
+    verdicts = stream_df.select(
+        F.col(ts_col), runner_compiled_verdict_id(runner, stream_df).alias("verdict_id")
+    )
+    return (
+        verdicts.where(F.col("verdict_id").isNotNull())
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration), "verdict_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def runner_compiled_verdict_id(runner: ValidationRunner, df: DataFrame):
+    """The rule DAG's first-violated-constraint column for ``df`` (streaming
+    or batch — compilation is schema-driven and source-agnostic)."""
+    from .compiler import compile_ruleset
+
+    cfg = runner.config
+    return compile_ruleset(cfg.ruleset, df, cfg.scorers).verdict_id
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_ts_ms", T.LongType()),
+        T.StructField("last_ts_ms", T.LongType()),
+    ]
+)
+
+
+def sessionize_events(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-key session assembly via ``applyInPandasWithState`` — the custom
+    stateful-operator escape hatch (Arrow-batched, GroupState + processing-
+    time timeout) for semantics Spark's built-in operators can't express.
+
+    Emits one row per key per trigger with the running session
+    (``closed=false``) or the final session when the state times out after
+    ``gap_minutes`` of silence (``closed=true``).  State is three longs per
+    key — bounded by keys, not by events.
+    """
+    import pandas as pd  # local: executors import lazily inside the worker
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "first_ts": [pd.Timestamp(first_ms, unit="ms")],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "closed": [True],
+                }
+            )
+            return
+        n, first_ms, last_ms = (state.get if state.exists else (0, None, None))
+        for pdf in pdfs:
+            # normalize to ns first: Arrow may hand datetime64[us] batches
+            ts_ms = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+            ).to_numpy()
+            n += len(ts_ms)
+            first_ms = int(min(first_ms, ts_ms.min())) if first_ms is not None else int(ts_ms.min())
+            last_ms = int(max(last_ms, ts_ms.max())) if last_ms is not None else int(ts_ms.max())
+        state.update((n, first_ms, last_ms))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_ts": [pd.Timestamp(first_ms, unit="ms")],
+                "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                "closed": [False],
+            }
+        )
+
+    return (
+        stream_df.select(F.col(key_col).alias("user_id"), F.col(ts_col))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

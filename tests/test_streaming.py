@@ -1,9 +1,18 @@
 from __future__ import annotations
 
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
 from dff.ruleset import parse_json
 from dff.runner import ValidationConfig, ValidationRunner
 from dff.sources import synthetic_source_files
-from dff.streaming import validate_stream
+from dff.streaming import (
+    sessionize_events,
+    validate_stream,
+    windowed_violation_counts,
+)
 
 SPEC = {
     "version": "s1",
@@ -46,3 +55,123 @@ def test_stream_batches_match_batch_run(spark, tmp_path):
         for r in batch.violations.collect()
     )
     assert sorted(collected) == want and len(want) > 0
+
+
+VSPEC = {
+    "version": "w1",
+    "sensitivity": 0.7,
+    "rules": [{"id": "C_neg", "name": "v < 0", "requires": []}],
+}
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1, h, m), u, v) for (h, m, u, v) in rows],
+        _EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_violation_counts_drops_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end: a row older than the watermark set by
+    a PREVIOUS trigger must not update its (already aggregated) window."""
+    src = str(tmp_path / "events")
+    ck = str(tmp_path / "wck")
+    runner = ValidationRunner(ValidationConfig(ruleset=parse_json(VSPEC)))
+
+    # batch 1: three violations in [10:00,10:10) + one 10:20 row that
+    # advances the watermark to 10:15 (delay 5 min)
+    _write_events(
+        spark, src,
+        [(10, 0, 1, -1.0), (10, 3, 1, -2.0), (10, 7, 2, -3.0), (10, 20, 2, -9.0)],
+    )
+    stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(src)
+    agg = windowed_violation_counts(
+        stream, runner, ts_col="ts",
+        window_duration="10 minutes", watermark_delay="5 minutes",
+    )
+    rows1: list = []
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: rows1.extend(b.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got1 = {
+        (r["window"]["start"].minute, r["verdict_id"]): r["n"] for r in rows1
+    }
+    assert got1[(0, "C_neg")] == 3
+    assert got1[(20, "C_neg")] == 1
+
+    # batch 2 (restart on the same checkpoint): one LATE violation at 10:02
+    # (behind the 10:15 watermark -> dropped) + one fresh row at 10:21
+    _write_events(spark, src, [(10, 2, 3, -5.0), (10, 21, 3, -6.0)])
+    stream2 = spark.readStream.schema(_EVENT_SCHEMA).parquet(src)
+    agg2 = windowed_violation_counts(
+        stream2, runner, ts_col="ts",
+        window_duration="10 minutes", watermark_delay="5 minutes",
+    )
+    rows2: list = []
+    q2 = (
+        agg2.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: rows2.extend(b.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["window"]["start"].minute, r["verdict_id"]): r["n"] for r in rows2
+    }
+    # the late 10:02 row produced NO update for the [10:00,10:10) window...
+    assert (0, "C_neg") not in got2
+    # ...while the in-watermark 10:21 row updated its window to 2
+    assert got2[(20, "C_neg")] == 2
+
+
+def test_sessionize_events_stateful_counts(spark, tmp_path):
+    """applyInPandasWithState: per-key running sessions over micro-batches
+    (state persists across triggers; counts accumulate per key)."""
+    src = str(tmp_path / "sess_events")
+    ck = str(tmp_path / "sess_ck")
+    _write_events(
+        spark, src,
+        [(9, 0, 1, 1.0), (9, 1, 1, 1.0), (9, 2, 1, 1.0), (9, 0, 2, 1.0)],
+    )
+    stream = spark.readStream.schema(_EVENT_SCHEMA).parquet(src)
+    out = sessionize_events(stream, key_col="user_id", ts_col="ts", gap_minutes=30)
+    srows1: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: srows1.extend(b.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in srows1}
+    assert got[1]["n_events"] == 3 and not got[1]["closed"]
+    assert got[1]["first_ts"] == dt.datetime(2026, 1, 1, 9, 0)
+    assert got[1]["last_ts"] == dt.datetime(2026, 1, 1, 9, 2)
+    assert got[2]["n_events"] == 1
+
+    # second micro-batch: state carries over, user 1's count grows to 4
+    _write_events(spark, src, [(9, 5, 1, 1.0)])
+    stream2 = spark.readStream.schema(_EVENT_SCHEMA).parquet(src)
+    out2 = sessionize_events(stream2, key_col="user_id", ts_col="ts", gap_minutes=30)
+    srows2: list = []
+    q2 = (
+        out2.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: srows2.extend(b.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["user_id"]: r for r in srows2}
+    assert got2[1]["n_events"] == 4 and got2[1]["last_ts"] == dt.datetime(2026, 1, 1, 9, 5)
