@@ -104,3 +104,28 @@ def test_multi_stat_agg_single_exchange(spark):
     )
     plan = _plan(agg)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_uniqueness_branch_shuffles_hash_not_strings(spark):
+    """The hash-compressed uniqueness plan: the only full-table Exchange
+    partitions on xxhash64(keys) (8 bytes/row), the duplicated-hash set
+    comes back via a BroadcastHashJoin LeftSemi, and no Exchange ever
+    partitions on the raw string key columns."""
+    from dff.runner import ValidationConfig, ValidationRunner
+
+    df = synthetic_source_files(spark, 2000, n_repos=50)
+    runner = ValidationRunner(
+        ValidationConfig(ruleset=parse_json(
+            {"rules": [{"id": "a", "name": "lang is null", "requires": []}]}
+        ))
+    )
+    verdicts = runner.row_verdicts(df)
+    plan = _plan(runner.violations(df, verdicts))
+    assert "Exchange hashpartitioning(__h" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the only string-key Exchange is the exact-confirm re-group, and its
+    # subtree (printed beneath it) must be the LeftSemi survivor set —
+    # i.e. the raw table's strings never shuffle
+    parts = plan.split("Exchange hashpartitioning(repo")
+    assert len(parts) == 2, plan
+    assert "LeftSemi" in parts[1], plan
