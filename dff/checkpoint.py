@@ -45,11 +45,24 @@ class CheckpointStore:
         # probe via the Spark reader, not os.path — the store path may live
         # on HDFS/S3 where a local-FS existence check would silently report
         # "empty" and disable resume (re-validating everything).
+        from pyspark.errors import AnalysisException
+
         try:
             df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
             df.schema  # force analysis so a missing path raises here
-        except Exception as e:  # AnalysisException: PATH_NOT_FOUND
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        except AnalysisException as e:
+            # match the structured error class first; fall back to the two
+            # message shapes older Sparks/connectors emit for missing paths
+            cond = ""
+            try:
+                cond = e.getCondition() or ""
+            except Exception:
+                pass
+            if (
+                "PATH_NOT_FOUND" in cond
+                or "PATH_NOT_FOUND" in str(e)
+                or "Path does not exist" in str(e)
+            ):
                 return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
             raise
         # last-writer-wins per (snapshot, partition, dag_version)

@@ -224,6 +224,9 @@ def minhash_dedup_pairs(
     # EAGER cache fill: three downstream subplans (hot-bucket counts + both
     # self-join sides) otherwise race to materialize the cache and each
     # recomputes the shingle+signature pipeline (measured 3x the work).
+    # Lifecycle: the cache is reclaimed by Spark's ContextCleaner once the
+    # returned plan (and this sigs reference) is garbage-collected; callers
+    # composing long-lived pipelines should materialize the pairs promptly.
     sigs.count()
     buckets = sigs.select(
         "doc", "sig", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bb")

@@ -16,9 +16,6 @@ from pyspark.sql import functions as F
 
 from .ruleset import RuleSet
 
-#: metrics-map keys that are NOT constraint ids
-_METRIC_KEYS = {"rows", "violations", "max_psi", "max_ks"}
-
 
 def dag_text(ruleset: RuleSet) -> str:
     """Topologically-ordered text rendering of the rule DAG.
@@ -47,24 +44,30 @@ def constraint_totals(partition_metrics: DataFrame) -> DataFrame:
     return (
         partition_metrics.where(F.col("by_constraint").isNotNull())
         .select(F.explode("by_constraint").alias("constraint_id", "n"))
-        .where(~F.col("constraint_id").isin(*_METRIC_KEYS))
         .groupBy("constraint_id")
         .agg(F.sum("n").cast("long").alias("hits"))
     )
 
 
-def render_report(ruleset: RuleSet, partition_metrics: DataFrame) -> str:
+def render_report(ruleset: RuleSet, partition_metrics) -> str:
     """DAG dump + per-constraint hit table + partition pass/fail banner —
     the aggregate analog of the reference's triggered-node highlight and
-    VALID/FRAUDULENT banner (02_dff_orchestration.py:362-405)."""
-    metrics = partition_metrics.select(
-        "rows", "violations", "verdict", "by_constraint"
-    ).collect()
+    VALID/FRAUDULENT banner (02_dff_orchestration.py:362-405).
+
+    ``partition_metrics`` may be the metrics DataFrame OR its already-
+    collected rows (callers that just ran ``.collect()`` for other reasons
+    should pass the rows — re-collecting re-runs the whole metrics lineage
+    as an extra Spark job)."""
+    if isinstance(partition_metrics, DataFrame):
+        metrics = partition_metrics.select(
+            "rows", "violations", "verdict", "by_constraint"
+        ).collect()
+    else:
+        metrics = partition_metrics
     totals: dict[str, int] = {}
     for m in metrics:
         for cid, n in (m["by_constraint"] or {}).items():
-            if cid not in _METRIC_KEYS:
-                totals[cid] = totals.get(cid, 0) + int(n)
+            totals[cid] = totals.get(cid, 0) + int(n)
     rows = sum(m["rows"] for m in metrics)
     violations = sum(m["violations"] for m in metrics)
     failed = sum(1 for m in metrics if m["verdict"] == "fail")

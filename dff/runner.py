@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointStore, plan_pending
@@ -58,8 +58,21 @@ class ValidationResult:
     partition_metrics: DataFrame  # per-partition rollup incl. pass/fail
     drift: DataFrame | None      # per-partition per-column psi/ks (if configured)
     base: DataFrame | None = None  # persisted slim projection feeding all of
-    # the above; materialize it FIRST (base.count()) so concurrent output
-    # actions read the cache instead of racing to fill it with extra scans
+    # the above; materialize ONE consumer first (violations.count() fills
+    # base + violations caches in a single decode pass) so concurrent
+    # output actions read the cache instead of racing to fill it
+    _cached: tuple[DataFrame, ...] = ()  # persisted frames, for unpersist()
+
+    def unpersist(self) -> None:
+        """Release this run's caches (base / violations / histogram).
+
+        Spark's ContextCleaner eventually unpersists them once the driver
+        garbage-collects the references, but a long-lived service calling
+        ``validate()`` per snapshot should release each batch explicitly so
+        storage memory never carries dead snapshots between GC cycles.
+        """
+        for df in self._cached:
+            df.unpersist()
 
 
 class ValidationRunner:
@@ -94,13 +107,15 @@ class ValidationRunner:
         local[8]; the string variant was a parallelism-independent wall).
         Pass 2 makes it EXACT despite hash collisions: the duplicated-hash
         set (tiny — violations are the exception by assumption) broadcasts
-        into a map-side semi join, and only the surviving rows re-group on
-        the TRUE key columns; (count-1) violation rows per duplicated key
-        come out of ``explode(sequence(...))``.  No sort anywhere, and the
-        fact table never shuffles its strings.  Earlier versions used
-        ``row_number`` over a window (full-table shuffle + SORT) and then a
-        plain string groupBy — both produce the identical violation
-        multiset (asserted by the resume/parity tests).
+        into a map-side semi join, and only the surviving rows pass through
+        a window keyed on the TRUE key columns, emitting one violation row
+        per surplus copy CARRYING THAT COPY'S OWN part/extra columns (so a
+        partition holding any surplus copy fails, even when a key's copies
+        span partitions).  No full-table sort or string shuffle anywhere;
+        the window sorts only the survivor set.  Earlier versions ran
+        ``row_number`` over a full-table window (shuffle + SORT of every
+        row) and then a plain string groupBy with max(part) attribution —
+        the latter could mark a duplicate-holding partition 'pass'.
 
         Note the broadcast assumes duplicate keys are rare (a constraint
         violation, not the norm).  Corpus-scale dedup — where most rows may
@@ -154,23 +169,26 @@ class ValidationRunner:
             survivors = df.select(
                 *uniq_keys, cfg.part_col, *extra, key_hash.alias("__h")
             ).join(F.broadcast(dup_hashes), "__h", "left_semi")
+            # per-COPY violation rows: every copy beyond the canonical first
+            # (lowest part_col — deterministic under any partitioning) is a
+            # violation carrying ITS OWN part/extra columns, so a partition
+            # holding a surplus copy always fails even when the copies of a
+            # key span partitions.  The window is fine here: it runs over
+            # the tiny survivor set (keys whose hash is duplicated), never
+            # the full table.
+            w = Window.partitionBy(*uniq_keys).orderBy(
+                F.col(cfg.part_col).asc(), *[F.col(c).asc() for c in extra]
+            )
+            # __rn > 1 alone is exact: a hash-collision key that is not
+            # actually duplicated forms a single-row group (rn == 1 only)
             dup = (
-                survivors.groupBy(*uniq_keys)
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    # copies agree on part/extra key cols by construction;
-                    # max() just picks the representative deterministically
-                    F.max(cfg.part_col).alias(cfg.part_col),
-                    *[F.max(c).alias(c) for c in extra],
-                )
-                .where(F.col("__n") > 1)
+                survivors.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") > 1)
                 .select(
                     *key_sel,
                     F.lit("uniqueness").alias("constraint_id"),
                     F.lit("duplicate key").alias("detail"),
-                    F.explode(F.sequence(F.lit(2), F.col("__n"))).alias("__i"),
                 )
-                .drop("__i")
             )
             out = out.unionByName(dup)
         return out
@@ -251,8 +269,10 @@ class ValidationRunner:
 
             base_cols += bucket_projection(cfg.drift_spec, [])
         base = df.select(*base_cols)
+        cached: list[DataFrame] = []
         if persist_violations:
             base = base.persist()
+            cached.append(base)
         verdicts = base.select(*key_sel, "verdict_id", "verdict")
         violations = self.violations(base, verdicts)
         if persist_violations:
@@ -260,6 +280,7 @@ class ValidationRunner:
             # are orders of magnitude smaller than the input: persist so the
             # explode/filter passes over the base run once, not twice.
             violations = violations.persist()
+            cached.append(violations)
         drift = None
         if has_drift:
             # rows-per-partition rides the SAME aggregation as the histograms
@@ -270,6 +291,7 @@ class ValidationRunner:
             )
             if persist_violations:
                 hist = hist.persist()  # n_parts rows, read by rows AND drift
+                cached.append(hist)
             rows = hist.select(cfg.part_col, F.col("__rows").alias("rows"))
             drift = drift_from_histograms(
                 hist, cfg.part_col, cfg.drift_spec, cfg.drift_baseline
@@ -280,6 +302,7 @@ class ValidationRunner:
         return ValidationResult(
             verdicts, violations, metrics, drift,
             base=base if persist_violations else None,
+            _cached=tuple(cached),
         )
 
     def checkpoint_rows(self, metrics: DataFrame, dag_version: str) -> DataFrame:

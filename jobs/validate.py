@@ -195,7 +195,8 @@ def main(argv: list[str] | None = None) -> dict:
         if args.report:
             from dff.report import render_report
 
-            print(render_report(ruleset, result.partition_metrics), file=sys.stderr)
+            # pass the already-collected rows — no second metrics job
+            print(render_report(ruleset, metrics), file=sys.stderr)
         print(json.dumps(_summary(metrics, wall, args)))
         spark.stop()
         return _summary(metrics, wall, args)
@@ -204,7 +205,7 @@ def main(argv: list[str] | None = None) -> dict:
     if args.report:
         from dff.report import render_report
 
-        print(render_report(ruleset, result.partition_metrics), file=sys.stderr)
+        print(render_report(ruleset, metrics), file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     return out

@@ -77,10 +77,11 @@ def test_rule_pass_is_whole_stage_codegen_no_shuffle(spark):
     assert "Exchange" not in plan  # pure map-side
 
 
-def test_ann_topk_has_no_global_window(spark):
-    """brute_force_topk must NOT shuffle n_items x n_queries scored rows
-    into n_queries window partitions: the executed plan has no Window node,
-    and stage 1 is a partial aggregate keyed by spark_partition_id."""
+def test_ann_topk_prunes_map_side_before_any_shuffle(spark):
+    """brute_force_topk must never shuffle n_items x n_queries scored rows:
+    scoring + per-partition top-k happen in ONE MapInPandas stage over the
+    unshuffled item scan (no join anywhere), and the only downstream
+    consumer is the final merge over its bounded n_parts x n_q x k output."""
     from dff.similarity import brute_force_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -88,8 +89,12 @@ def test_ann_topk_has_no_global_window(spark):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     plan = _plan(brute_force_topk(emb, q, k=5))
-    assert "Window" not in plan, plan
-    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan  # queries closed over, never joined
+    # the window's input is MapInPandas output (<= n_parts*n_q*k rows):
+    # everything below the Window marker must be the pruning stage + scan
+    below_window = plan.split("Window")[-1]
+    assert "MapInPandas" in below_window, plan
 
 
 def test_multi_stat_agg_single_exchange(spark):

@@ -68,6 +68,26 @@ def test_validate_matches_planted(spark):
     df.unpersist()
 
 
+def test_cross_partition_duplicates_fail_every_holding_partition(spark):
+    """A key duplicated ACROSS partitions must fail every partition that
+    holds a surplus copy (regression: max(part) attribution let the other
+    partitions pass while containing duplicates)."""
+    rows = [
+        ("r1", "a.py", "c1", "python", "x", 3),   # canonical copy, part 3
+        ("r1", "a.py", "c1", "python", "x", 7),   # surplus copy, part 7
+        ("r1", "a.py", "c1", "python", "x", 9),   # surplus copy, part 9
+        ("r2", "b.py", "c2", "python", "y", 3),   # unique key
+    ]
+    df = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content", "part_id"]
+    )
+    runner = ValidationRunner(ValidationConfig(ruleset=parse_json(SPEC)))
+    viols = runner.violations(df, runner.row_verdicts(df))
+    dup = viols.where(F.col("constraint_id") == "uniqueness").collect()
+    # one violation per surplus copy, each carrying its OWN part_id
+    assert sorted(r["part_id"] for r in dup) == [7, 9]
+
+
 def test_clean_table_passes(spark):
     df = synthetic_source_files(spark, 12000, n_repos=100, plant_violations=False)
     runner = make_runner(spark, df, with_drift=True)

@@ -42,8 +42,11 @@ def test_ivf_recall_vs_brute_force(spark):
     emb.unpersist()
 
 
-def test_topk_is_broadcast_no_shuffle_of_items(spark):
+def test_topk_scores_map_side_no_shuffle_of_items(spark):
+    """The query matrix is closed over the MapInPandas scorer (no join of
+    any kind); items are scanned once, unshuffled."""
     emb = spark.read.parquet(EMB)
     q = _queries(spark, 2)
     plan = brute_force_topk(emb, q, k=3)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
