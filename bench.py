@@ -51,19 +51,17 @@ VALIDATION_ROWS = int(os.environ.get("SPARK_GRAFT_VALIDATION_ROWS", "500000"))
 
 
 def _session(cpus: int) -> SparkSession:
+    from dff.env import pick_local_dir
+
     mem = os.environ.get("DFF_DRIVER_MEM", "16g")
-    local_dir = os.environ.get("DFF_LOCAL_DIR", "/dev/shm/spark-local")
-    try:
-        os.makedirs(local_dir, exist_ok=True)
-    except OSError:
-        local_dir = "/tmp"
+    b = SparkSession.builder.master(f"local[{cpus}]").appName("dff-bench")
+    # tmpfs shuffle dir (capacity-gated; see dff/env.py): the sandbox disk
+    # writes at ~15 MB/s (see jobs/validate.py) — local-SSD stand-in
+    local_dir = pick_local_dir()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("dff-bench")
-        # tmpfs shuffle dir: the sandbox disk writes at ~15 MB/s (see
-        # jobs/validate.py) — local-SSD stand-in
-        .config("spark.local.dir", local_dir)
-        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        b.config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", mem)
@@ -132,15 +130,23 @@ def bench_validation_pipeline(spark: SparkSession, src_path: str, tmp: str) -> f
     warm = runner.validate(df.limit(20000), persist_violations=False)
     _materialize(warm.violations)
     warm.partition_metrics.collect()
-    t0 = time.perf_counter()
-    result = runner.validate(df)
-    # one action fills base + violations caches in a single decode pass;
-    # the remaining actions read warm caches (see jobs/validate.py)
-    result.violations.count()
-    _materialize(result.verdicts)
-    _materialize(result.violations)
-    store.append(runner.checkpoint_rows(result.partition_metrics, "bench-v1"))
-    return time.perf_counter() - t0
+    # median of 3 passes: round 2 published a single-shot number that the
+    # driver could not reproduce (75k claimed vs 37.6k recorded) — the
+    # median absorbs host jitter so README and BENCH_r{N} agree
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        result = runner.validate(df)
+        # one action fills base + violations caches in a single decode
+        # pass; the remaining actions read warm caches (see jobs/validate.py)
+        result.violations.count()
+        _materialize(result.verdicts)
+        _materialize(result.violations)
+        store.append(runner.checkpoint_rows(result.partition_metrics, "bench-v1"))
+        runs.append(time.perf_counter() - t0)
+        result.unpersist()
+    runs.sort()
+    return runs[1]
 
 
 def main() -> None:

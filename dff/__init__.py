@@ -20,6 +20,7 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.dedup``      exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding dedup.
 - ``dff.similarity`` brute-force and LSH/IVF approximate nearest-neighbor search.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
+- ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
 appears only inside Arrow-batched pandas UDFs. No per-row Python anywhere.

@@ -8,14 +8,28 @@ scale choices the notebook doesn't need:
 
 - results tables are written **bucketed** on the join key, so downstream
   equi-joins/aggs on that key are shuffle-free (bucket-pruned, co-located);
-- ``createOrReplace`` drops + recreates atomically-enough for a batch
-  engine (Iceberg ``writeTo(...).createOrReplace()`` on a real catalog;
-  the sandbox metastore realizes it as drop-if-exists + saveAsTable).
+- replace is STAGED (write to ``__stg``, then drop + rename): a failed
+  write never loses the existing table.  On a real lakehouse catalog the
+  drop->rename pair collapses to Iceberg ``writeTo(...).createOrReplace()``
+  (one atomic snapshot commit).
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _quote(name: str) -> str:
+    """Validate + backtick-quote a (possibly dotted) table identifier so it
+    can't smuggle SQL into the DROP/RENAME statements."""
+    parts = name.split(".")
+    if not all(_IDENT.match(p) for p in parts):
+        raise ValueError(f"invalid table identifier: {name!r}")
+    return ".".join(f"`{p}`" for p in parts)
 
 
 def save_managed(
@@ -31,15 +45,28 @@ def save_managed(
     ``spark.table(name).groupBy(key)`` or self-join on the key reads
     pre-shuffled data: the Exchange disappears from those plans (asserted
     in tests/test_catalog.py).
+
+    Staged replace: the data is written to ``{name}__stg`` FIRST, and only
+    after the write succeeds is the target dropped and the staging table
+    renamed in.  A failed write therefore leaves the existing table intact
+    (the round-2 drop-then-write realization lost it).  The drop->rename
+    window is two metastore calls — not atomic; a real lakehouse catalog
+    collapses it to Iceberg/Delta ``createOrReplace`` (single snapshot
+    commit), which this sandbox's Hive-less metastore cannot express.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    target = _quote(name)
+    staging_raw = f"{name}__stg"
+    staging = _quote(staging_raw)
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     if bucket_cols:
         writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols)
-    writer.format("parquet").saveAsTable(name)
+    writer.format("parquet").saveAsTable(staging_raw)
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
 
 
 def register_view(df: DataFrame, name: str) -> None:
@@ -50,7 +77,7 @@ def register_view(df: DataFrame, name: str) -> None:
 
 def drop_table(spark: SparkSession, name: str) -> None:
     """``drop table if exists`` (01_dff_model.py:474)."""
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"DROP TABLE IF EXISTS {_quote(name)}")
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:

@@ -11,6 +11,15 @@ Storage: in production this is an Iceberg table
 checkpoint rows); the sandbox has no Iceberg catalog, so the store is
 parquet-append with last-writer-wins dedup on read, which preserves the
 resume semantics (duplicate checkpoint rows collapse to the latest).
+
+ADR (round 3): backing the store with a real table format was attempted —
+``import delta`` fails (delta-spark is not installed), no Iceberg runtime
+jar ships with this pyspark build, and the sandbox permits no package
+installs or network fetches, so an atomic-commit backend cannot run here.
+The store keeps the Iceberg-shaped API (read/append/completed_partitions)
+so swapping ``append`` to ``df.writeTo(...).append()`` on a real catalog
+is a two-line change; crash-window idempotency of the parquet stand-in is
+pinned by tests/test_runner_checkpoint.py.
 """
 
 from __future__ import annotations

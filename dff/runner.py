@@ -50,6 +50,30 @@ class ValidationConfig:
     snapshot_id: str = "snapshot-0"
     partition_spec: str = "bucket(part_id)"
 
+    def __post_init__(self) -> None:
+        """Fail fast with a descriptive error instead of the opaque
+        unresolved-column failure the slim persisted base projection would
+        raise at analysis time: uniqueness/referential checks run over the
+        base (key_cols + part_col + verdict), so their columns must be
+        drawn from key_cols ∪ {part_col}."""
+        allowed = {*self.key_cols, self.part_col}
+        if self.unique_keys:
+            bad = [c for c in self.unique_keys if c not in allowed]
+            if bad:
+                raise ValueError(
+                    f"unique_keys {bad} not in key_cols {self.key_cols} ∪ "
+                    f"part_col {self.part_col!r}: the uniqueness check reads "
+                    "the slim base projection — add the column(s) to key_cols"
+                )
+        for check in self.referential:
+            bad = [c for c in check.on if c not in allowed]
+            if bad:
+                raise ValueError(
+                    f"referential check {check.constraint_id!r}: join columns "
+                    f"{bad} not in key_cols {self.key_cols} ∪ part_col "
+                    f"{self.part_col!r} — add the column(s) to key_cols"
+                )
+
 
 @dataclass
 class ValidationResult:
@@ -166,8 +190,11 @@ class ValidationRunner:
                 .where(F.col("__hn") > 1)
                 .select("__h")
             )
+            # dict.fromkeys: part_col may itself be a unique key (config
+            # permits it) — selecting it twice would be an analysis error
+            sel = list(dict.fromkeys([*uniq_keys, cfg.part_col, *extra]))
             survivors = df.select(
-                *uniq_keys, cfg.part_col, *extra, key_hash.alias("__h")
+                *sel, key_hash.alias("__h")
             ).join(F.broadcast(dup_hashes), "__h", "left_semi")
             # per-COPY violation rows: every copy beyond the canonical first
             # (lowest part_col — deterministic under any partitioning) is a

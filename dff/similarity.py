@@ -25,43 +25,63 @@ from .dedup import cosine_expr
 
 
 def two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Exact top-k per query without a per-query single-reducer window.
+    """Exact top-k per query over a scored (query_id, item_id, cosine) set,
+    pruned MAP-SIDE before anything shuffles.
 
-    A ``row_number().over(Window.partitionBy(query_id))`` sends every
-    scored (item x query) row to n_queries reducer partitions — one reducer
-    sorts the full candidate set per query.  Grouping by (query_id,
-    spark_partition_id) instead spreads the merge over n_parts x n_queries
-    groups and replaces the global sort with per-group array sorts.
+    An Arrow-batched ``mapInPandas`` stage keeps a running top-k per query
+    WITHIN each input partition (the same fused pattern as
+    :func:`brute_force_topk`), so the only Exchange in the plan carries at
+    most n_parts x n_queries x k rows — independent of the candidate count.
+    The final exact merge is a plain window over those bounded partials.
 
-    HONEST LIMIT: the partial ``collect_list`` buffers still ship ALL
-    candidate rows through the exchange (the slice to k happens after the
-    final aggregate) — this fixes the reducer hotspot and the sort, not
-    shuffle volume.  It is the right merge for PRE-PRUNED candidate sets
-    (IVF probes); for brute force over the full item table use
-    :func:`brute_force_topk`, whose map-side numpy stage prunes to k per
-    partition BEFORE any shuffle.
+    (The round-2 realization aggregated ``collect_list`` partials per
+    (query, partition): that fixed the single-reducer sort but still
+    shipped EVERY candidate row through the exchange — the last flagged
+    scale-killer.  Top-k is a monotone selection, so per-partition pruning
+    to k is exact and the shuffle volume is now bounded.)
 
-    Top-k is a monotone selection, so pruning to k per partition is exact.
-    Ordering: cosine DESC, item_id ASC (ties) — encoded as an ascending
-    struct sort on (-cosine, item_id).
+    Ordering: cosine DESC, item_id ASC on ties — identical to
+    :func:`brute_force_topk`.
     """
-    neg = F.struct(
-        (-F.col("cosine")).alias("negcos"), F.col("item_id").alias("item_id")
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", scored.schema["query_id"].dataType),
+            T.StructField("item_id", scored.schema["item_id"].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    partial = (
-        scored.withColumn("__pid", F.spark_partition_id())
-        .groupBy("query_id", "__pid")
-        .agg(F.slice(F.array_sort(F.collect_list(neg)), 1, k).alias("cand"))
-    )
-    merged = partial.groupBy("query_id").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("cand"))), 1, k).alias("top")
-    )
-    return merged.select("query_id", F.posexplode("top").alias("pos", "c")).select(
-        "query_id",
-        F.col("c.item_id").alias("item_id"),
-        # +0.0 normalizes IEEE -0.0 back to 0.0 after the sign flip
-        (-F.col("c.negcos") + F.lit(0.0)).alias("cosine"),
-        (F.col("pos") + 1).alias("rank"),
+    src = scored.select("query_id", "item_id", F.col("cosine").cast("double"))
+
+    def prune_partition(batches):
+        run: dict = {}  # query_id -> (cosines ndarray, item_ids ndarray)
+        for pdf in batches:
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                cos = grp["cosine"].to_numpy(dtype=np.float64)
+                ids = grp["item_id"].to_numpy()
+                if qid in run:
+                    cos = np.concatenate([run[qid][0], cos])
+                    ids = np.concatenate([run[qid][1], ids])
+                if len(cos) > k:
+                    # lexsort: last key is primary -> cosine DESC, id ASC
+                    order = np.lexsort((ids, -cos))[:k]
+                    cos, ids = cos[order], ids[order]
+                run[qid] = (cos, ids)
+        if run:
+            yield pd.DataFrame(
+                {
+                    "query_id": [q for q, (c, _) in run.items() for _ in c],
+                    "item_id": np.concatenate([i for _, i in run.values()]),
+                    "cosine": np.concatenate([c for c, _ in run.values()]),
+                }
+            )
+
+    pruned = src.mapInPandas(prune_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return pruned.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
     )
 
 
@@ -92,6 +112,17 @@ def brute_force_topk(
     q_rows = queries.select(
         F.col(query_id), F.col(emb).cast("array<double>")
     ).collect()
+    # dirty-data guard: a null query embedding would make q_mat object-dtype
+    # (matmul raises); drop nulls, and raise a CLEAR error on ragged dims
+    # rather than np.stack's opaque one
+    q_rows = [r for r in q_rows if r[1] is not None]
+    dims = {len(r[1]) for r in q_rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"query embeddings have inconsistent dimensions {sorted(dims)}; "
+            f"offending ids include "
+            f"{[r[0] for r in q_rows if len(r[1]) != len(q_rows[0][1])][:5]}"
+        )
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[query_id].dataType),
@@ -111,12 +142,15 @@ def brute_force_topk(
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (nq, dim)
     q_norm = np.linalg.norm(q_mat, axis=1)
     nq = len(q_ids)
+    dim = q_mat.shape[1]
 
     def score_partition(batches):
         run_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
         run_ids = [np.empty(0, dtype=object) for _ in range(nq)]
         for pdf in batches:
-            pdf = pdf[pdf["emb"].notna()]
+            # skip null AND wrong-dimension item embeddings (np.stack on a
+            # ragged column raises; the prior expression path scored 0.0)
+            pdf = pdf[pdf["emb"].map(lambda e: e is not None and len(e) == dim)]
             if not len(pdf):
                 continue
             x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)  # (b, dim)

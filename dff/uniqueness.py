@@ -1,10 +1,17 @@
 """Uniqueness constraints: hash-partitioned duplicate detection (SURVEY.md §2.4).
 
-``groupBy(keys).count().where(count > 1)`` shuffles once on the key hash —
-exactly the "hash-partitioned dedup counts" of the north rule.  Map-side
-partial aggregation compacts each partition before the shuffle, so the
-shuffle volume is bounded by distinct keys per partition, not rows; at
-10^12 rows the dominant cost is the scan.
+Every helper here routes through the HASH-COMPRESSED two-pass shape the
+validation runner uses (dff/runner.py:158-193, the round-2 skew fix): pass 1
+aggregates ``xxhash64(keys)`` — 8 bytes per row instead of the raw key
+strings, so the only full-table shuffle shrinks ~10x and the aggregation
+hash map compares longs (measured 53s -> 6s on 16M skewed rows).  Pass 2
+makes results EXACT despite hash collisions: the duplicated-hash set (tiny
+by the uniqueness-constraint assumption) broadcasts into a map-side semi
+join, and only the surviving rows are re-grouped on the TRUE key columns.
+No full-table string shuffle or sort anywhere; at 10^12 rows the dominant
+cost is the scan.  (Round-2 verdict: the previous full-table-window /
+self-join realizations here were the slow shape a by-name importer would
+pick up.)
 """
 
 from __future__ import annotations
@@ -14,7 +21,13 @@ from pyspark.sql import functions as F
 
 
 def duplicate_key_counts(df: DataFrame, keys: list[str]) -> DataFrame:
-    """Keys occurring more than once, with their multiplicity."""
+    """Keys occurring more than once, with their multiplicity.
+
+    One shuffle on the key hash with map-side partial aggregation — the
+    shuffle volume is bounded by distinct keys per partition, not rows.
+    (This one aggregates the true keys directly: its OUTPUT is the key
+    columns, so a hash pre-pass would still have to re-read them.)
+    """
     return (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("dup_count"))
@@ -22,15 +35,38 @@ def duplicate_key_counts(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _duplicate_hash_survivors(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows whose ``xxhash64(keys)`` is duplicated — a superset of the true
+    duplicate-key rows (hash collisions possible), produced with an 8-byte
+    shuffle + broadcast semi join; callers confirm exactly on true keys."""
+    key_hash = F.xxhash64(*keys)
+    dup_hashes = (
+        df.select(key_hash.alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__hn"))
+        .where(F.col("__hn") > 1)
+        .select("__h")
+    )
+    return df.withColumn("__h", key_hash).join(
+        F.broadcast(dup_hashes), "__h", "left_semi"
+    ).drop("__h")
+
+
 def duplicate_rows(df: DataFrame, keys: list[str]) -> DataFrame:
     """All rows participating in a duplicate key group.
 
-    Implemented as a self-semi-join against the dup-key set.  The dup-key
-    side is usually tiny relative to the table; both sides shuffle on the
-    same keys so AQE can convert to broadcast when the dup set is small.
+    Hash-compressed two-pass: the full table shuffles only 8-byte hashes;
+    the exact confirm (a count window on the true keys) runs over the tiny
+    survivor set, so a hash-collision row whose true key is unique is
+    filtered back out.
     """
-    dups = duplicate_key_counts(df, keys).select(*keys)
-    return df.join(dups, keys, "left_semi")
+    survivors = _duplicate_hash_survivors(df, keys)
+    w = Window.partitionBy(*keys)
+    return (
+        survivors.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") > 1)
+        .drop("__n")
+    )
 
 
 def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
@@ -38,7 +74,8 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
 
     ``dropDuplicates`` keeps an arbitrary row (partitioning-dependent);
     validation needs reproducibility, so we use a window row_number.
-    One shuffle on ``keys``.
+    One shuffle on ``keys`` — necessarily of the full rows (every row may
+    survive), so there is no hash-compressed shortcut here.
     """
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
     return (
@@ -48,13 +85,22 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
     )
 
 
-def uniqueness_violations(df: DataFrame, keys: list[str], constraint_id: str = "uniqueness") -> DataFrame:
+def uniqueness_violations(
+    df: DataFrame, keys: list[str], constraint_id: str = "uniqueness"
+) -> DataFrame:
     """Violation rows: every row beyond the first in each duplicate group,
-    tagged with the constraint id (the first occurrence is considered the
-    canonical row and passes)."""
+    tagged with the constraint id (the first occurrence is the canonical
+    row and passes).
+
+    Hash-compressed two-pass (same shape as the runner's uniqueness
+    branch): the row_number window sorts only the broadcast-semi-join
+    survivor set, never the full table.  ``__rn > 1`` alone is exact — a
+    hash-collision row with a unique true key forms a single-row group.
+    """
+    survivors = _duplicate_hash_survivors(df, keys)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in df.columns])
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") > 1)
         .drop("__rn")
         .withColumn("constraint_id", F.lit(constraint_id))

@@ -65,12 +65,12 @@ def build_session(parallelism: int | None, app: str = "dff-validate") -> SparkSe
     # Shuffle/spill files go to tmpfs: this sandbox's disk writes at
     # ~15 MB/s (measured, with heavy kernel time), so any GB-scale shuffle
     # to /tmp becomes a parallelism-independent wall — tmpfs restores the
-    # local-SSD behavior every real cluster node has.
-    local_dir = os.environ.get("DFF_LOCAL_DIR", "/dev/shm/spark-local")
-    try:
-        os.makedirs(local_dir, exist_ok=True)
-    except OSError:
-        local_dir = None
+    # local-SSD behavior every real cluster node has.  The choice is
+    # capacity-gated (dff/env.py): on a normal host with a small /dev/shm
+    # the default stays the system temp dir so spills can't OOM the box.
+    from dff.env import pick_local_dir
+
+    local_dir = pick_local_dir()
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
     return (

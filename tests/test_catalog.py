@@ -51,3 +51,32 @@ def test_create_or_replace_overwrites(spark, small):
         assert spark.table("t_replace").count() == 25
     finally:
         drop_table(spark, "t_replace")
+
+
+def test_identifier_validation_rejects_injection(spark, small):
+    for bad in ("t; DROP TABLE x", "t`x", "a.b; --", ""):
+        with pytest.raises(ValueError, match="invalid table identifier"):
+            save_managed(small.limit(1), bad)
+        with pytest.raises(ValueError, match="invalid table identifier"):
+            drop_table(spark, bad)
+
+
+def test_failed_replace_keeps_existing_table(spark, small):
+    """Staged replace (round-2 advisor): a write that fails mid-flight must
+    leave the previous table contents readable, not dropped."""
+    save_managed(small.limit(50), "t_staged")
+    try:
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import udf
+
+        @udf(T.StringType())
+        def boom(x):
+            raise RuntimeError("injected write failure")
+
+        failing = small.limit(10).withColumn("repo", boom("repo"))
+        with pytest.raises(Exception, match="injected write failure"):
+            save_managed(failing, "t_staged")
+        assert spark.table("t_staged").count() == 50  # old contents intact
+    finally:
+        drop_table(spark, "t_staged")
+        drop_table(spark, "t_staged__stg")

@@ -97,6 +97,27 @@ def test_ann_topk_prunes_map_side_before_any_shuffle(spark):
     assert "MapInPandas" in below_window, plan
 
 
+def test_ivf_merge_prunes_map_side_no_collect_list(spark):
+    """The IVF merge (two_stage_topk) must never ship unbounded candidate
+    buffers through an Exchange: round 2's collect_list partials buffered
+    EVERY candidate row (the last flagged scale-killer).  The merge is now
+    a MapInPandas running top-k per partition, so the plan has no
+    collect_list at all and the window's input is the bounded pruned set."""
+    from dff.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ivf_topk(emb, q, k=5, n_centroids=8, nprobe=2))
+    assert "collect_list" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    # the final merge window reads the MapInPandas partials, not raw
+    # candidates: below the Window marker the pruning stage must appear
+    below_window = plan.split("Window")[-1]
+    assert "MapInPandas" in below_window, plan
+
+
 def test_multi_stat_agg_single_exchange(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     agg = li.agg(

@@ -137,3 +137,44 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
     # third run: nothing pending
     assert runner.run(df, store) is None
     df.unpersist()
+
+
+def test_crash_between_violations_write_and_checkpoint_append(spark, tmp_path):
+    """Crash-window idempotency (VERDICT r02 §next-5): a run that dies
+    AFTER writing violations but BEFORE appending checkpoint rows must,
+    on resume, re-validate those partitions and REPLACE their output via
+    dynamic partition overwrite — never duplicate it."""
+    n = 4000
+    df = synthetic_source_files(spark, n, n_repos=100).cache()
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    runner = make_runner(spark, df, snapshot_id="snap-C")
+    viol_path = str(tmp_path / "viol")
+    cfg = runner.config
+
+    # crashed attempt: replicate run()'s violations write for the full
+    # input, then "die" before store.append
+    crashed = runner.validate(df)
+    crashed.violations.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(cfg.part_col).parquet(viol_path)
+    n_crashed = spark.read.parquet(viol_path).count()
+    assert n_crashed > 0  # planted violations exist
+    # no checkpoint row made it out
+    assert store.completed_partitions("snap-C", "dag-v1").count() == 0
+
+    # resume: every partition is still pending, so the full table
+    # re-validates and its output replaces the crashed attempt's rows
+    r = runner.run(df, store, violations_path=viol_path)
+    assert r is not None
+    resumed = spark.read.parquet(viol_path)
+    assert resumed.count() == n_crashed  # replaced, not appended
+
+    # and the multiset matches a fresh in-memory validation exactly
+    fresh = runner.validate(df)
+    key = ["repo", "path", "commit", "constraint_id"]
+    a = sorted(tuple(row[c] for c in key) for row in resumed.select(*key).collect())
+    b = sorted(
+        tuple(row[c] for c in key) for row in fresh.violations.select(*key).collect()
+    )
+    assert a == b
+    df.unpersist()

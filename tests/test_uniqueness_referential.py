@@ -4,7 +4,12 @@ from pyspark.sql import functions as F
 
 from dff.referential import allowed_values_violations, orphan_rows, valid_rows
 from dff.sources import ALLOWED_LANGS, commits_dim, langs_dim, synthetic_source_files
-from dff.uniqueness import dedup_exact, duplicate_key_counts, uniqueness_violations
+from dff.uniqueness import (
+    dedup_exact,
+    duplicate_key_counts,
+    duplicate_rows,
+    uniqueness_violations,
+)
 
 KEYS = ["repo", "path", "commit"]
 
@@ -25,6 +30,54 @@ def test_duplicates_found_exactly(spark):
     kept = deduped.where(F.col("row_id") >= n).count()
     assert kept == 0  # copies (row_id >= n) always lose to originals
     df.unpersist()
+
+
+def test_duplicate_rows_hash_compressed_plan_and_values(spark):
+    """duplicate_rows routes through the hash-compressed two-pass (round-2
+    verdict: the old self-join shape was the slow one): values = every row
+    of every duplicate group, and the plan's full-table Exchange partitions
+    on the 8-byte hash, with the dup set coming back via broadcast semi."""
+    n = 4000
+    df = synthetic_source_files(spark, n, n_repos=100).cache()
+    n_dup_groups = len([i for i in range(n) if i % 499 == 21])
+    rows = duplicate_rows(df, KEYS)
+    assert rows.count() == 2 * n_dup_groups  # both copies of each group
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(__h" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # uniqueness_violations shares the shape
+    plan_v = (
+        uniqueness_violations(df, KEYS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning(__h" in plan_v, plan_v
+    df.unpersist()
+
+
+def test_validation_config_rejects_unknown_check_columns(spark):
+    import pytest
+
+    from dff.ruleset import parse_json
+    from dff.runner import ReferentialCheck, ValidationConfig
+
+    rs = parse_json({"rules": [{"id": "a", "name": "lang is null", "requires": []}]})
+    with pytest.raises(ValueError, match="unique_keys.*key_cols"):
+        ValidationConfig(ruleset=rs, unique_keys=("repo", "lang"))
+    dim = langs_dim(spark)
+    with pytest.raises(ValueError, match="referential.*lang"):
+        ValidationConfig(
+            ruleset=rs,
+            referential=[ReferentialCheck(dim, ["lang"], "C_lang")],
+        )
+    # part_col itself is a legal unique key (and must not be selected twice)
+    cfg = ValidationConfig(ruleset=rs, unique_keys=("repo", "part_id"))
+    from dff.runner import ValidationRunner
+
+    df = synthetic_source_files(spark, 500, n_repos=10, plant_violations=False)
+    runner = ValidationRunner(cfg)
+    runner.violations(df, runner.row_verdicts(df)).count()  # analyzes cleanly
 
 
 def test_referential_orphans_and_allowed_values(spark):
