@@ -77,26 +77,28 @@ def lang_id(col: str | Column, markers: dict[str, list[str]] | None = None) -> C
     ``array_max(array(struct(score, lang)...))`` — struct comparison is
     lexicographic, so the max is the best (score, lang) pair.
 
-    ONE regex pass: the text is lowered once and scanned once with the
-    union alternation of every language's markers (``regexp_extract_all``);
-    per-language scores are then cheap membership filters over the small
-    hit array.  (The round-2 realization ran one case-insensitive
-    ``regexp_count`` scan of the full text PER language — 4x the regex
-    work, the round's one bench regression.)  Equivalent by construction:
-    ``\\b``-bounded plain-word alternation always matches the full word
-    (a shorter prefix alternative fails its trailing ``\\b``), so the union
-    scan finds exactly the occurrences each per-language scan would, and
-    words shared by two languages count for both — same as before.
+    Shape note (round-3 measurement, sf0.1 / local[32], steady-state): one
+    ``regexp_count`` scan per language is the FASTEST realization (~0.5s)
+    — a "fused" single ``regexp_extract_all`` union scan is 2x slower
+    (1.07s: it materializes a match array per row, and per-language
+    membership filters re-walk it), and trie-compressing the alternations
+    is timing-neutral (~0.5s either way).  The total regex work is the
+    same either way (n_langs short alternations vs one long one over the
+    same text); ``regexp_count`` just keeps it allocation-free.  The
+    round-2 bench "regression" (1.32 -> 2.13s) was single-shot cold-codegen
+    variance, not a plan change — bench.py now warms this expression's
+    codegen like every other headline path.
     """
     c = F.col(col) if isinstance(col, str) else col
     markers = markers or LANG_MARKERS
-    all_words = list(dict.fromkeys(w for ws in markers.values() for w in ws))
-    union_pat = r"\b(" + "|".join(all_words) + r")\b"
-    hits = F.regexp_extract_all(F.lower(c), F.lit(union_pat), 1)
     scored = []
     for lang, words in markers.items():
-        score = F.size(F.filter(hits, lambda h: h.isin(*words)))
-        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        scored.append(
+            F.struct(
+                F.regexp_count(c, F.lit(pat)).alias("score"), F.lit(lang).alias("lang")
+            )
+        )
     best = F.array_max(F.array(*scored))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
 
