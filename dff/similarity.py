@@ -217,26 +217,56 @@ def _nearest_centroid_udf(centroids: np.ndarray, nprobe: int = 1):
     return assign
 
 
-def ivf_topk(
-    items: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    item_id: str = "vec_id",
-    query_id: str = "query_id",
-    emb: str = "embedding",
-) -> DataFrame:
-    """IVF-bucketed ANN: items live in one centroid list; queries probe
-    ``nprobe`` lists.  Recall < 1 by design; larger nprobe -> closer to
-    brute force (asserted within tests).
+class IvfIndex:
+    """Build-once / query-many IVF index.
 
-    Centroids are trained with a few spherical k-means iterations on a
-    small DETERMINISTIC sample (hash-selected, partitioning-independent) —
-    the sample and the iteration count are bounded, so driver work is O(
-    sample x iters x dim) regardless of table size; only the final
-    centroid matrix ships to executors inside the Arrow-batched
-    assignment UDF.
+    The expensive stages — centroid training and the Arrow-batched
+    assignment of EVERY item to its cell — run once at build; each query
+    batch then costs only a broadcast probe join over the assigned frame
+    plus the bounded map-side top-k merge.  ``persist=True`` caches the
+    assigned (item_id, emb, cell) projection so repeated query batches
+    never re-decode the item table; call :meth:`unpersist` when done (or
+    write ``assigned`` out as a table partitioned by ``cell`` for
+    cross-job reuse — the probe join prunes cells either way).
+    """
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame, persisted: bool):
+        self.centroids = centroids
+        self.assigned = assigned  # (item_id, i_emb, cell)
+        self._persisted = persisted
+
+    def query(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
+              query_id: str = "query_id", emb: str = "embedding") -> DataFrame:
+        assignp = _nearest_centroid_udf(self.centroids, nprobe=nprobe)
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(emb).cast("array<double>").alias("q_emb"),
+        ).withColumn("cell", F.explode(assignp(F.col("q_emb"))))
+        scored = self.assigned.join(F.broadcast(q), "cell").select(
+            "query_id",
+            "item_id",
+            cosine_expr(F.col("i_emb"), F.col("q_emb")).alias("cosine"),
+        )
+        return two_stage_topk(scored, k)
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            self.assigned.unpersist()
+
+
+def build_ivf_index(
+    items: DataFrame,
+    n_centroids: int = 16,
+    item_id: str = "vec_id",
+    emb: str = "embedding",
+    persist: bool = False,
+) -> IvfIndex:
+    """Train centroids + assign every item to its cell (the build half of
+    IVF).  Centroids are trained with a few spherical k-means iterations
+    on a small DETERMINISTIC sample (hash-selected) — the sample and the
+    iteration count are bounded, so driver work is O(sample x iters x dim)
+    regardless of table size; only the final centroid matrix ships to
+    executors inside the Arrow-batched assignment UDF.
     """
     sample_rows = (
         items.select(F.col(item_id).alias("_id"), F.col(emb).cast("array<double>").alias("_e"))
@@ -256,18 +286,27 @@ def ivf_topk(
         centroids = _spherical_kmeans(sample, n_centroids, iters=8)
 
     assign1 = _nearest_centroid_udf(centroids, nprobe=1)
-    assignp = _nearest_centroid_udf(centroids, nprobe=nprobe)
-
-    i = items.select(
+    assigned = items.select(
         F.col(item_id).alias("item_id"), F.col(emb).cast("array<double>").alias("i_emb")
     ).withColumn("cell", F.element_at(assign1(F.col("i_emb")), 1))
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(emb).cast("array<double>").alias("q_emb")
-    ).withColumn("cell", F.explode(assignp(F.col("q_emb"))))
+    if persist:
+        assigned = assigned.persist()
+    return IvfIndex(centroids, assigned, persist)
 
-    scored = i.join(F.broadcast(q), "cell").select(
-        "query_id",
-        "item_id",
-        cosine_expr(F.col("i_emb"), F.col("q_emb")).alias("cosine"),
-    )
-    return two_stage_topk(scored, k)
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    item_id: str = "vec_id",
+    query_id: str = "query_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """One-shot IVF ANN: :func:`build_ivf_index` + :meth:`IvfIndex.query`.
+    Recall < 1 by design for nprobe < n_centroids; nprobe = n_centroids
+    probes every cell and returns the exact top-k (oracle-checked by the
+    ``ivf_full_probe`` gate query)."""
+    index = build_ivf_index(items, n_centroids, item_id, emb)
+    return index.query(queries, k=k, nprobe=nprobe, query_id=query_id, emb=emb)

@@ -50,3 +50,60 @@ def test_topk_scores_map_side_no_shuffle_of_items(spark):
     plan = brute_force_topk(emb, q, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_ivf_index_build_once_query_many(spark):
+    """IvfIndex: one build (assignment persisted), multiple query batches;
+    results identical to one-shot ivf_topk with the same parameters, and
+    dirty queries (null embedding) are tolerated by the brute-force path."""
+    from dff.similarity import build_ivf_index
+
+    emb = spark.read.parquet(EMB)
+    index = build_ivf_index(emb, n_centroids=8, persist=True)
+    try:
+        for qn in (2, 3):
+            q = _queries(spark, qn)
+            via_index = {
+                (r["query_id"], r["item_id"], r["rank"])
+                for r in index.query(q, k=4, nprobe=8).collect()
+            }
+            one_shot = {
+                (r["query_id"], r["item_id"], r["rank"])
+                for r in ivf_topk(emb, q, k=4, n_centroids=8, nprobe=8).collect()
+            }
+            assert via_index == one_shot
+    finally:
+        index.unpersist()
+
+
+def test_brute_force_tolerates_null_and_ragged_embeddings(spark):
+    """ADVICE r02: null query embeddings must be dropped (not crash the
+    numpy matmul); ragged dims must raise a clear error; null/ragged item
+    embeddings are skipped."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [1.0, 0.0, 0.5])],
+        schema,
+    )
+    q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)], schema
+    ).withColumnRenamed("vec_id", "query_id")
+    out = brute_force_topk(items, q, k=2)
+    rows = out.collect()
+    # null query dropped; null + wrong-dim items skipped
+    assert {r["query_id"] for r in rows} == {10}
+    assert {r["item_id"] for r in rows} == {1, 2}
+
+    ragged_q = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0, 0.3])], schema
+    ).withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError, match="inconsistent dimensions"):
+        brute_force_topk(items, ragged_q, k=2)
