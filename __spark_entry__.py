@@ -680,11 +680,13 @@ def q_stream_window_counts(spark, sf_dir):
         if not os.path.isdir(src):
             # FileStreamSource requires a DIRECTORY; the testdata table is a
             # single file -> stage a symlink dir (read-only testdata)
+            import hashlib
             import tempfile
 
-            stage = os.path.join(
-                tempfile.gettempdir(), f"dff-stream-{abs(hash(src))}"
-            )
+            # content-stable name (NOT Python hash(): per-process seed
+            # randomization would leak one new dir per run)
+            tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+            stage = os.path.join(tempfile.gettempdir(), f"dff-stream-{tag}")
             os.makedirs(stage, exist_ok=True)
             link = os.path.join(stage, "events.parquet")
             if not os.path.exists(link):

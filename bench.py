@@ -86,7 +86,9 @@ def _ensure_source_table(spark: SparkSession, n: int, path: str) -> None:
     df.repartition(64).write.mode("overwrite").parquet(path)
 
 
-def bench_validation_pipeline(spark: SparkSession, src_path: str, tmp: str) -> float:
+def bench_validation_pipeline(
+    spark: SparkSession, src_path: str, tmp: str
+) -> tuple[float, list[float]]:
     """Full engine pass: rules + uniqueness + referential + drift + checkpoint."""
     df = spark.read.parquet(src_path)
     dspec = DriftSpec(

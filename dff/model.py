@@ -51,11 +51,30 @@ class FittedScorer:
     def score_frame(self, df: DataFrame, score_col: str = SCORE_COL) -> DataFrame:
         """Append ``P(label=1)`` as ``score_col`` — a map-only distributed
         transform (the ensemble rides the broadcast plan); drops the ML
-        vector intermediates so downstream plans stay relational."""
-        scored = self.pipeline_model.transform(df)
+        vector intermediates so downstream plans stay relational.
+
+        Dirty-data semantics (the engine's premise): rows with a NULL in
+        any feature column get a NULL score instead of crashing the fitted
+        ``VectorAssembler`` (its default ``handleInvalid='error'`` throws
+        on the first null at scale); re-scoring a frame that already
+        carries ``score_col`` replaces the column.
+        """
+        keep = [c for c in df.columns if c != score_col]
+        base = df.select(*keep)
+        feats_ok = None
+        for c in self.feature_cols:
+            cond = F.col(c).isNotNull()
+            feats_ok = cond if feats_ok is None else (feats_ok & cond)
+        ok = base.where(feats_ok) if feats_ok is not None else base
+        scored = self.pipeline_model.transform(ok)
         p1 = _element1(F.col("probability"))
-        keep = [c for c in df.columns]
-        return scored.select(*keep, p1.alias(score_col))
+        out = scored.select(*keep, p1.alias(score_col))
+        if feats_ok is None:
+            return out
+        skipped = base.where(~feats_ok).withColumn(
+            score_col, F.lit(None).cast("double")
+        )
+        return out.unionByName(skipped)
 
     def as_scorer(self, score_col: str = SCORE_COL):
         """Adapter for :func:`dff.compiler.compile_ruleset`'s scorer

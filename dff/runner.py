@@ -180,22 +180,16 @@ class ValidationRunner:
             .select(*key_sel, F.col("__c.constraint_id"), F.col("__c.detail"))
         )
         if cfg.unique_keys:
+            from .uniqueness import _duplicate_hash_survivors
+
             uniq_keys = list(cfg.unique_keys)
             extra = [c for c in key_sel if c not in uniq_keys and c != cfg.part_col]
-            key_hash = F.xxhash64(*uniq_keys)
-            dup_hashes = (
-                df.select(key_hash.alias("__h"))
-                .groupBy("__h")
-                .agg(F.count(F.lit(1)).alias("__hn"))
-                .where(F.col("__hn") > 1)
-                .select("__h")
-            )
             # dict.fromkeys: part_col may itself be a unique key (config
             # permits it) — selecting it twice would be an analysis error
             sel = list(dict.fromkeys([*uniq_keys, cfg.part_col, *extra]))
-            survivors = df.select(
-                *sel, key_hash.alias("__h")
-            ).join(F.broadcast(dup_hashes), "__h", "left_semi")
+            # shared hash-compressed pre-pass (dff/uniqueness.py): 8-byte
+            # hash shuffle + broadcast semi join of the duplicated-hash set
+            survivors = _duplicate_hash_survivors(df.select(*sel), uniq_keys)
             # per-COPY violation rows: every copy beyond the canonical first
             # (lowest part_col — deterministic under any partitioning) is a
             # violation carrying ITS OWN part/extra columns, so a partition

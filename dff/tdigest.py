@@ -168,11 +168,17 @@ def partition_digests(
     computes a single global digest per partition (group_key '')."""
 
     def build(batches):
-        acc: dict[str, TDigest] = {}
+        acc: dict[str | None, TDigest] = {}
         for pdf in batches:
+            # dropna=False: NULL-keyed rows form their own group (a NULL
+            # group_key row downstream), matching groupBy semantics —
+            # pandas' default silently discards them
             groups = (
                 [("", pdf)] if key_col is None
-                else [(str(k), g) for k, g in pdf.groupby(key_col, sort=False)]
+                else [
+                    (None if pd.isna(k) else str(k), g)
+                    for k, g in pdf.groupby(key_col, sort=False, dropna=False)
+                ]
             )
             for key, g in groups:
                 d = TDigest.of(g[value_col].to_numpy(dtype=np.float64), delta)
@@ -211,8 +217,11 @@ def tdigest_quantiles(
     """End to end: partition digests -> sketch merge -> quantiles.
 
     Returns (group_key, q, value) rows.  The only shuffle in the plan
-    carries digests (≈ delta doubles per partition per group)."""
-    merged = merge_digests(partition_digests(df, value_col, key_col, delta), delta)
+    carries digests (≈ delta doubles per partition per group): ``emit``
+    merges AND queries in one grouped stage, so there is no separate
+    merge_digests round-trip (that function exists for persisting merged
+    digests as an artifact)."""
+    partials = partition_digests(df, value_col, key_col, delta)
     out_schema = T.StructType(
         [
             T.StructField("group_key", T.StringType()),
@@ -233,4 +242,4 @@ def tdigest_quantiles(
             }
         )
 
-    return merged.groupBy("group_key").applyInPandas(emit, out_schema)
+    return partials.groupBy("group_key").applyInPandas(emit, out_schema)

@@ -92,3 +92,23 @@ def test_unscored_frame_degrades_like_reference_fallback(labeled, scorer):
     assert labeled.select(compiled.verdict_id.alias("v")).where(
         F.col("v").isNotNull()
     ).count() == 0
+
+
+def test_score_frame_null_features_and_rescore(spark, labeled, scorer):
+    """Code-review r03: null feature values must yield a NULL score (not a
+    VectorAssembler crash), and re-scoring replaces the score column."""
+    import pyspark.sql.functions as SF
+
+    dirty = labeled.withColumn(
+        "f1", SF.when(SF.col("id") % 10 == 0, None).otherwise(SF.col("f1"))
+    )
+    scored = scorer.score_frame(dirty)
+    assert scored.count() == dirty.count()  # no rows lost
+    nulls = scored.where(SF.col(SCORE_COL).isNull()).count()
+    assert nulls == dirty.where(SF.col("f1").isNull()).count()
+    # re-score: single (replaced) score column, no ambiguity
+    rescored = scorer.score_frame(scored)
+    assert rescored.columns.count(SCORE_COL) == 1
+    assert rescored.where(SF.col(SCORE_COL).isNotNull()).count() == (
+        dirty.count() - nulls
+    )

@@ -82,3 +82,21 @@ def test_shuffle_carries_sketches_not_rows(spark, mixed):
     rows = partition_digests(df, "v").collect()
     assert 0 < len(rows) <= 8
     assert all(len(r["means"]) <= 400 for r in rows)
+
+
+def test_null_group_key_forms_its_own_group(spark):
+    """Code-review r03: pandas groupby silently drops NaN keys by default;
+    NULL-keyed rows must surface as a NULL group_key row like groupBy."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+    rows = [("a", float(i)) for i in range(100)] + [
+        (None, float(1000 + i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    out = {r["group_key"]: r["value"] for r in tdigest_quantiles(df, "v", (0.5,), key_col="k").collect()}
+    assert set(out) == {"a", None}
+    assert 40 <= out["a"] <= 60
+    assert 1015 <= out[None] <= 1035
