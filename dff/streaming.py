@@ -103,6 +103,28 @@ def runner_compiled_verdict_id(runner: ValidationRunner, df: DataFrame):
     return compile_ruleset(cfg.ruleset, df, cfg.scorers).verdict_id
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keyed on ``keys``.
+
+    A plain ``dropDuplicates`` on a stream accumulates every key seen
+    forever (state grows without bound on an infinite source); the
+    within-watermark variant evicts key state once the event time passes
+    ``watermark_delay``, so duplicates arriving within the delay are
+    suppressed and state size is bounded by the watermark window — the
+    streaming twin of :func:`dff.dedup.dedup_exact` for at-least-once
+    ingestion (e.g. replayed Kafka partitions or re-delivered files).
+    ``ts_col`` must be TIMESTAMP (cast TIMESTAMP_NTZ upstream)."""
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

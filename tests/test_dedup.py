@@ -180,3 +180,19 @@ def test_signature_agreement_expression(spark):
     )
     got = df.select(signature_agreement(F.col("a"), F.col("b")).alias("j")).first()["j"]
     assert got == pytest.approx(0.5)
+
+
+def test_eager_false_is_lazy_and_equal(spark):
+    """ADVICE r02: eager=False must skip the construction-time persist/count
+    job entirely (plan stays lazy) and return identical pairs."""
+    df = _corpus(spark)
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    lazy = minhash_dedup_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5, eager=False
+    )
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "eager=False ran a job at construction"
+    eager = minhash_dedup_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    assert {tuple(r) for r in lazy.collect()} == {tuple(r) for r in eager.collect()}

@@ -175,3 +175,34 @@ def test_sessionize_events_stateful_counts(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r["user_id"]: r for r in srows2}
     assert got2[1]["n_events"] == 4 and got2[1]["last_ts"] == dt.datetime(2026, 1, 1, 9, 5)
+
+
+def test_dedup_stream_suppresses_redelivered_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key re-delivered in a later
+    micro-batch (within the watermark) is emitted exactly once, and state
+    stays bounded by the watermark instead of growing forever."""
+    from dff.streaming import dedup_stream
+
+    path = str(tmp_path / "dups")
+    # batch 1: keys 1,2,3 ; batch 2 (separate file): keys 2,3 redelivered + 4
+    _write_events(spark, path, [(10, 0, 1, 1.0), (10, 1, 2, 1.0), (10, 2, 3, 1.0)])
+    _write_events(spark, path, [(10, 3, 2, 1.0), (10, 4, 3, 1.0), (10, 5, 4, 1.0)])
+
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = dedup_stream(stream, ["user_id"], ts_col="ts", watermark_delay="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_stream_t").collect()
+    ids = sorted(r["user_id"] for r in rows)
+    assert ids == [1, 2, 3, 4]  # each key exactly once despite redelivery
