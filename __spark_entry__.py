@@ -597,6 +597,31 @@ def q_salted_stats(spark, sf_dir):
     )
 
 
+def q_tdigest_accuracy_violations(spark, sf_dir):
+    """Driver-checkable t-digest INVARIANT: every per-lang quantile the
+    distributed sketch (dff/tdigest.py: mapInPandas partition digests ->
+    applyInPandas merge) reports must sit within rank error 0.05 of the
+    true CDF — i.e. for estimate v at quantile q, the data's
+    P(x < v) - eps <= q <= P(x <= v) + eps.  Violations returned, expected
+    EMPTY.  The bound holds for ANY partitioning/merge order (t-digest
+    centroids vary with merge order; their rank error does not exceed the
+    k1-scale guarantee), so the invariant is deterministic even though the
+    sketch itself is not byte-stable."""
+    from dff.tdigest import tdigest_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    td = tdigest_quantiles(d, "n_chars", (0.25, 0.5, 0.75), key_col="lang")
+    vals = d.select(F.col("lang").cast("string").alias("group_key"), "n_chars")
+    j = td.join(vals, "group_key")
+    checked = j.groupBy("group_key", "q", "value").agg(
+        F.avg((F.col("n_chars") < F.col("value")).cast("double")).alias("lo"),
+        F.avg((F.col("n_chars") <= F.col("value")).cast("double")).alias("hi"),
+    )
+    eps = 0.05
+    bad = (F.col("q") < F.col("lo") - eps) | (F.col("q") > F.col("hi") + eps)
+    return checked.where(bad).select("group_key", "q")
+
+
 def q_multimodal_bytes(spark, sf_dir):
     """Multimodal plumbing under the driver gate: documents re-encoded as
     opaque ``binary`` media payloads, pushed through the REAL Arrow-batched
@@ -778,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "stream_window_counts": q_stream_window_counts,
         "multimodal_bytes": q_multimodal_bytes,
+        "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / trained IVF cells have no cross-engine twin); each
@@ -971,6 +997,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_consistency_violations": """
             SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS item_id
+            WHERE 1 = 0
+        """,
+        "tdigest_accuracy_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS group_key, CAST(NULL AS DOUBLE) AS q
             WHERE 1 = 0
         """,
         # full-probe IVF == exact brute force (every cell probed), so the
