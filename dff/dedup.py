@@ -247,7 +247,14 @@ def minhash_dedup_pairs(
     buckets = drop_hot_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
+    # verify BEFORE the pair-dedup shuffle: est_jaccard is pair-intrinsic
+    # (identical from every band that produced the pair), so filtering
+    # first commutes with dropDuplicates — and the dedup exchange then
+    # carries (id, id, double) rows instead of two 64-long signatures per
+    # row (~40x less shuffle volume), with sub-threshold pairs never
+    # shuffled at all.  The extra zip_with evaluations for multi-band
+    # duplicates are map-side CPU, far cheaper than the bytes they save.
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -257,17 +264,10 @@ def minhash_dedup_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        pairs.withColumn(
-            "est_jaccard", signature_agreement(F.col("sig_a"), F.col("sig_b"))
+            signature_agreement(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
