@@ -346,6 +346,30 @@ def q_event_gaps(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (dff/asof.py: union + ordered window
+    fill, one shuffle, no range cross-product) — each click event picks up
+    the user's most recent purchase at or before it.  Hash-checked against
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` on the same tables."""
+    from dff.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r"), F.col("event_id_r"), F.col("value_r"),
+    )
+
+
 def q_sha256(spark, sf_dir):
     """Per-row content hash — the engine's per-row invariant (input_hint)."""
     d = _t(spark, sf_dir, "documents")
@@ -788,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_rollup": q_monthly_rollup,
         "dup_keys": q_dup_keys,
         "event_gaps": q_event_gaps,
+        "asof_join": q_asof_join,
         "sha256": q_sha256,
         "token_counts": q_token_counts,
         "source_profile": q_source_profile,
@@ -945,6 +970,15 @@ def oracle_sql() -> dict[str, str]:
                                                          ORDER BY ts, event_id)) AS gap_ms
             FROM events WHERE user_id < 50
             QUALIFY gap_ms IS NOT NULL
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS ts_r, r.event_id AS event_id_r, r.value AS value_r
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                            WHERE event_type = 'purchase') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sha256": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
         "token_counts": """

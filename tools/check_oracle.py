@@ -23,7 +23,14 @@ TABLES = [
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        # unit-insensitive timestamps: Spark toPandas yields datetime64[ns],
+        # DuckDB fetchdf datetime64[us]; comparing raw asi8 across units
+        # reads lossless-identical instants as different (the driver hash
+        # canonicalizes, so unit is not part of parity)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
