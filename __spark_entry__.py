@@ -370,6 +370,33 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Binned range join (dff/rangejoin.py): click events matched to every
+    same-group purchase interval [value-2, value+2] containing their value.
+    Points bucket once, intervals explode into overlapped buckets, and the
+    pair meets in exactly the point's bucket — equi-join + exact filter,
+    no nested-loop cross product.  Hash-checked against DuckDB's plain
+    inequality join."""
+    from dff.rangejoin import interval_point_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("g"),
+        F.col("event_id").alias("click_id"),
+        F.col("value"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("g"),
+        F.col("event_id").alias("purchase_id"),
+        (F.col("value") - 2.0).alias("lo"),
+        (F.col("value") + 2.0).alias("hi"),
+    )
+    out = interval_point_join(
+        clicks, purchases, ["g"], "value", "lo", "hi", bucket_width=8.0
+    )
+    return out.select("g", "click_id", "purchase_id")
+
+
 def q_sha256(spark, sf_dir):
     """Per-row content hash — the engine's per-row invariant (input_hint)."""
     d = _t(spark, sf_dir, "documents")
@@ -813,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keys": q_dup_keys,
         "event_gaps": q_event_gaps,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sha256": q_sha256,
         "token_counts": q_token_counts,
         "source_profile": q_source_profile,
@@ -979,6 +1007,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
                             WHERE event_type = 'purchase') r
             ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT p.g, p.click_id, i.purchase_id FROM
+              (SELECT user_id % 50 AS g, event_id AS click_id, value
+               FROM events WHERE event_type = 'click') p
+            JOIN
+              (SELECT user_id % 50 AS g, event_id AS purchase_id,
+                      value - 2.0 AS lo, value + 2.0 AS hi
+               FROM events WHERE event_type = 'purchase') i
+            ON p.g = i.g AND p.value >= i.lo AND p.value <= i.hi
         """,
         "sha256": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
         "token_counts": """

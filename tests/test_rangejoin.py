@@ -1,0 +1,74 @@
+"""Binned range join: inclusivity, multi-bucket intervals, no duplicates,
+and the equi-join (never nested-loop) plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dff.rangejoin import interval_point_join
+
+_P = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("pid", T.StringType()),
+     T.StructField("v", T.DoubleType())]
+)
+_I = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("iid", T.StringType()),
+     T.StructField("lo", T.DoubleType()), T.StructField("hi", T.DoubleType())]
+)
+
+
+def test_matches_boundaries_and_wide_intervals_once(spark):
+    points = spark.createDataFrame(
+        [(1, "p0", 0.0), (1, "p5", 5.0), (1, "p10", 10.0), (2, "q5", 5.0)], _P
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, "i_narrow", 4.0, 6.0),    # catches p5 only
+            (1, "i_wide", 0.0, 10.0),     # spans many buckets; catches all 3
+            (1, "i_edge", 10.0, 12.0),    # inclusive lower bound catches p10
+            (2, "i_otherkey", 0.0, 10.0), # key 2 catches only q5
+        ],
+        _I,
+    )
+    out = interval_point_join(
+        points, intervals, ["k"], "v", "lo", "hi", bucket_width=2.0
+    )
+    pairs = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert pairs == sorted(
+        [
+            ("p5", "i_narrow"),
+            ("p0", "i_wide"), ("p5", "i_wide"), ("p10", "i_wide"),
+            ("p10", "i_edge"),
+            ("q5", "i_otherkey"),
+        ]
+    )  # each pair exactly once despite i_wide overlapping 6 buckets
+
+
+def test_negative_values_and_invalid_width(spark):
+    points = spark.createDataFrame([(1, "pn", -3.5)], _P)
+    intervals = spark.createDataFrame([(1, "in", -4.0, -3.0)], _I)
+    out = interval_point_join(points, intervals, ["k"], "v", "lo", "hi", 1.0)
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [("pn", "in")]
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_point_join(points, intervals, ["k"], "v", "lo", "hi", 0.0)
+
+
+def test_plan_is_equi_join_not_nested_loop(spark):
+    points = spark.createDataFrame(
+        [(i % 7, f"p{i}", float(i)) for i in range(500)], _P
+    )
+    intervals = spark.createDataFrame(
+        [(i % 7, f"i{i}", float(i), float(i + 3)) for i in range(500)], _I
+    )
+    plan = (
+        interval_point_join(points, intervals, ["k"], "v", "lo", "hi", 4.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
