@@ -103,6 +103,65 @@ def runner_compiled_verdict_id(runner: ValidationRunner, df: DataFrame):
     return compile_ruleset(cfg.ruleset, df, cfg.scorers).verdict_id
 
 
+def incremental_rollup(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_location: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Continuously-maintained daily rollup (the "hypertable rollup" /
+    continuous-aggregate pattern): each micro-batch appends its ALGEBRAIC
+    partials (count, sum) per (day, keys) to a partial-aggregate table;
+    :func:`read_rollup` folds partials into the final aggregate at read.
+
+    Exactly-once without transactions: partials are partitioned by
+    ``(__day, __batch_id)`` and written with DYNAMIC partition overwrite —
+    a retried batch (foreachBatch may re-deliver after a crash) REPLACES
+    its own partitions instead of double-counting, and never touches other
+    batches' partitions.  At 10^12 rows the per-batch work is one map-side
+    combine + a tiny shuffle of (days x keys) partials; the read-side fold
+    is over partial rows, not events.  Compact by periodically rewriting
+    old days' partials into one batch partition (same idempotent shape).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy(
+                F.to_date(F.col(ts_col)).alias("__day"), *key_cols
+            )
+            .agg(
+                F.count(F.lit(1)).alias("partial_n"),
+                F.sum(value_col).alias("partial_sum"),
+            )
+            .withColumn("__batch_id", F.lit(batch_id))
+        )
+        delta.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("__day", "__batch_id").parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark, out_path: str, key_cols: list[str]) -> DataFrame:
+    """Fold the partial-aggregate table into the final daily rollup."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("__day", *key_cols)
+        .agg(
+            F.sum("partial_n").alias("n"),
+            F.sum("partial_sum").alias("sum_value"),
+        )
+        .withColumnRenamed("__day", "day")
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

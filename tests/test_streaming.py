@@ -206,3 +206,55 @@ def test_dedup_stream_suppresses_redelivered_keys(spark, tmp_path):
     rows = spark.table("dedup_stream_t").collect()
     ids = sorted(r["user_id"] for r in rows)
     assert ids == [1, 2, 3, 4]  # each key exactly once despite redelivery
+
+
+def test_incremental_rollup_exactly_once_on_retry(spark, tmp_path):
+    """Hypertable-rollup analog: per-batch algebraic partials partitioned by
+    (day, batch_id) with dynamic overwrite — the maintained rollup equals a
+    batch recompute, and a re-delivered batch REPLACES its own partials
+    (no double counting)."""
+    from dff.streaming import incremental_rollup, read_rollup
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    _write_events(spark, src, [(10, 0, 1, 2.0), (10, 1, 2, 3.0)])
+    _write_events(spark, src, [(11, 0, 1, 5.0), (12, 0, 3, 7.0)])
+
+    stream = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "rollup")
+    q = incremental_rollup(
+        stream, out, str(tmp_path / "ck"), key_cols=["user_id"], value_col="v"
+    )
+    q.awaitTermination(120)
+
+    def totals():
+        return {
+            (str(r["day"]), r["user_id"]): (r["n"], r["sum_value"])
+            for r in read_rollup(spark, out, ["user_id"]).collect()
+        }
+
+    got = totals()
+    batch = {
+        (str(r["day"]), r["user_id"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(src)
+        .groupBy(F.to_date("ts").alias("day"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_value"))
+        .collect()
+    }
+    assert got == batch and len(got) >= 3
+
+    # simulate a crash-retry of batch 0: re-deliver the SAME batch partials
+    # into the same (day, batch_id) partitions — rollup must not change.
+    # (materialize first: lazily re-reading the path being overwritten
+    # would race the write)
+    b0 = spark.read.parquet(out).where(F.col("__batch_id") == 0)
+    rows, schema = b0.collect(), b0.schema
+    assert rows  # batch 0 produced partials
+    spark.createDataFrame(rows, schema).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("__day", "__batch_id").parquet(out)
+    assert totals() == got  # replaced, not double-counted
