@@ -203,11 +203,20 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    # min-of-2 per query: this host's noisy neighbors inject random
+    # multi-second spikes into single-shot timings (a 0.5s query can read
+    # 6s in an unlucky window); min filters the spike — the same choice the
+    # scaling bench documents — and both runs are reported for transparency
     timings: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _materialize(qdict[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(qdict[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        query_runs[name] = runs
 
     import tempfile
 
@@ -235,6 +244,7 @@ def main() -> None:
                 # cache fill of the source table on this sandbox's slow
                 # disk; the median is the steady-state number
                 "validation_runs_sec": vruns,
+                "query_runs_sec": query_runs,
             }
         )
     )
