@@ -397,6 +397,33 @@ def q_range_join(spark, sf_dir):
     return out.select("g", "click_id", "purchase_id")
 
 
+def q_interval_overlap_join(spark, sf_dir):
+    """Binned interval-overlap join (dff/rangejoin.py): click value
+    intervals [v-1, v+1] against purchase intervals [v-2, v+2] per group —
+    each overlapping pair found exactly once via its canonical
+    overlap-start bucket (no dedup shuffle).  Hash-checked against
+    DuckDB's plain inequality join."""
+    from dff.rangejoin import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("g"),
+        F.col("event_id").alias("click_id"),
+        (F.col("value") - 1.0).alias("ls"),
+        (F.col("value") + 1.0).alias("le"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("g"),
+        F.col("event_id").alias("purchase_id"),
+        (F.col("value") - 2.0).alias("rs"),
+        (F.col("value") + 2.0).alias("re"),
+    )
+    out = interval_overlap_join(
+        clicks, purchases, ["g"], "ls", "le", "rs", "re", bucket_width=6.0
+    )
+    return out.select("g", "click_id", "purchase_id")
+
+
 def q_sha256(spark, sf_dir):
     """Per-row content hash — the engine's per-row invariant (input_hint)."""
     d = _t(spark, sf_dir, "documents")
@@ -841,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "interval_overlap_join": q_interval_overlap_join,
         "sha256": q_sha256,
         "token_counts": q_token_counts,
         "source_profile": q_source_profile,
@@ -1017,6 +1045,17 @@ def oracle_sql() -> dict[str, str]:
                       value - 2.0 AS lo, value + 2.0 AS hi
                FROM events WHERE event_type = 'purchase') i
             ON p.g = i.g AND p.value >= i.lo AND p.value <= i.hi
+        """,
+        "interval_overlap_join": """
+            SELECT l.g, l.click_id, r.purchase_id FROM
+              (SELECT user_id % 50 AS g, event_id AS click_id,
+                      value - 1.0 AS ls, value + 1.0 AS le
+               FROM events WHERE event_type = 'click') l
+            JOIN
+              (SELECT user_id % 50 AS g, event_id AS purchase_id,
+                      value - 2.0 AS rs, value + 2.0 AS re
+               FROM events WHERE event_type = 'purchase') r
+            ON l.g = r.g AND l.ls <= r.re AND r.rs <= l.le
         """,
         "sha256": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
         "token_counts": """

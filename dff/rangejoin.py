@@ -62,3 +62,46 @@ def interval_point_join(
         )
         .drop("__b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """All (left, right) interval pairs with the same keys that OVERLAP
+    (``l_start <= r_end AND r_start <= l_end``, inclusive endpoints).
+
+    Both sides explode into their overlapped buckets; an overlapping pair
+    meets in every bucket both cover, so the join keeps only the CANONICAL
+    bucket — the one containing the overlap's start ``max(l_start,
+    r_start)``, which both intervals necessarily cover — making the output
+    duplicate-free WITHOUT a dedup shuffle.  Shuffle volume is both sides
+    exploded (≈ rows x (len/width + 1) each)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    w = F.lit(float(bucket_width))
+
+    def explode_buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__b",
+            F.explode(F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w))),
+        )
+
+    lb = explode_buckets(left, l_start, l_end)
+    rb = explode_buckets(right, r_start, r_end)
+    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    return (
+        lb.join(rb, [*on, "__b"])
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__b") == F.floor(overlap_start / w))
+        )
+        .drop("__b")
+    )

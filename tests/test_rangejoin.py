@@ -72,3 +72,27 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+def test_interval_overlap_join_once_per_pair(spark):
+    """Overlap pairs found exactly once via the canonical (overlap-start)
+    bucket, including touching endpoints and multi-bucket overlaps."""
+    from dff.rangejoin import interval_overlap_join
+
+    L = spark.createDataFrame(
+        [(1, "a", 0.0, 10.0), (1, "b", 12.0, 13.0), (2, "c", 0.0, 100.0)],
+        ["k", "lid", "ls", "le"],
+    )
+    R = spark.createDataFrame(
+        [
+            (1, "x", 5.0, 20.0),    # overlaps a (5..10, spans buckets) and b
+            (1, "y", 10.0, 11.0),   # touches a exactly at 10 (inclusive)
+            (1, "z", 30.0, 40.0),   # overlaps nothing on key 1
+            (2, "w", 99.0, 200.0),  # overlaps c at the tail
+        ],
+        ["k", "rid", "rs", "re"],
+    )
+    out = interval_overlap_join(L, R, ["k"], "ls", "le", "rs", "re", 4.0)
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert pairs == sorted(
+        [("a", "x"), ("b", "x"), ("a", "y"), ("c", "w")]
+    )  # each exactly once despite long shared bucket ranges

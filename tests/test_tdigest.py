@@ -100,3 +100,24 @@ def test_null_group_key_forms_its_own_group(spark):
     assert set(out) == {"a", None}
     assert 40 <= out["a"] <= 60
     assert 1015 <= out[None] <= 1035
+
+
+def test_digest_persist_and_merge_across_snapshots(spark, tmp_path, mixed):
+    """The persistence story: partition digests written to parquet by one
+    job merge with a later snapshot's digests — the combined quantiles are
+    accurate for the UNION without rescanning the first snapshot."""
+    from dff.tdigest import _row_digest
+
+    half = len(mixed) // 2
+    df1 = spark.createDataFrame([(float(x),) for x in mixed[:half]], ["v"]).repartition(4)
+    df2 = spark.createDataFrame([(float(x),) for x in mixed[half:]], ["v"]).repartition(4)
+    p = str(tmp_path / "digests")
+    partition_digests(df1, "v").write.mode("overwrite").parquet(p)
+    combined = merge_digests(
+        spark.read.parquet(p).unionByName(partition_digests(df2, "v"))
+    ).collect()
+    assert len(combined) == 1
+    d = _row_digest(combined[0])
+    assert abs(d.count - len(mixed)) < 1e-6
+    for q in QS:
+        assert _rank_error(mixed, d.quantile(q), q) <= 0.015, q
