@@ -360,9 +360,13 @@ def q_asof_join(spark, sf_dir):
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
+    # right_order makes the match deterministic if a user ever has two
+    # purchases at one timestamp (largest event_id wins) — without it the
+    # hash-checked comparison against the oracle would be flaky on ties
+    # (ADVICE r03); the oracle SQL mirrors the same tie-break.
     out = asof_join(
         clicks, purchases, on=["user_id"], ts_col="ts",
-        right_cols=["event_id", "value"],
+        right_cols=["event_id", "value"], right_order=["event_id"],
     )
     return out.select(
         "event_id", "user_id", "ts",
@@ -1028,13 +1032,26 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY gap_ms IS NOT NULL
         """,
         "asof_join": """
-            SELECT l.event_id, l.user_id, l.ts,
-                   r.ts AS ts_r, r.event_id AS event_id_r, r.value AS value_r
-            FROM (SELECT event_id, user_id, ts FROM events
-                  WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
-                            WHERE event_type = 'purchase') r
-            ON l.user_id = r.user_id AND l.ts >= r.ts
+            -- explicit window realization of ASOF LEFT JOIN so the
+            -- same-(user, ts) tie-break (largest event_id) is pinned on
+            -- both sides of the gate; DuckDB's native ASOF leaves the
+            -- tie choice unspecified (ADVICE r03)
+            WITH j AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     r.ts AS ts_r, r.event_id AS event_id_r,
+                     r.value AS value_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY r.ts DESC, r.event_id DESC
+                     ) AS rn
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click') l
+              LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                         WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            )
+            SELECT event_id, user_id, ts, ts_r, event_id_r, value_r
+            FROM j WHERE rn = 1
         """,
         "range_join": """
             SELECT p.g, p.click_id, i.purchase_id FROM

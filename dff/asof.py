@@ -49,6 +49,14 @@ def asof_join(
     Returns every ``left`` column plus ``{ts_col}{right_suffix}`` and each
     of ``right_cols`` suffixed — NULL where no right row precedes.
     """
+    # A right row with a NULL timestamp can never be "the largest ts <="
+    # anything (DuckDB ASOF / pandas merge_asof agree) — but Spark's asc
+    # sort puts nulls FIRST, so an unfiltered null-ts right row would sort
+    # before every left row and its payload would propagate via
+    # last(ignorenulls) to the whole key group (ADVICE r03).  Filter it
+    # out up front.  Left rows with a NULL ts need no special case: they
+    # sort before every (non-null-ts) right row and so match NULL.
+    right = right.where(F.col(ts_col).isNotNull())
     carry = list(dict.fromkeys([ts_col, *right_cols, *(right_order or [])]))
     rstruct = F.struct(*[F.col(c) for c in carry])
     r2 = right.select(

@@ -39,13 +39,30 @@ def interval_point_join(
     """All (point, interval) pairs with the same ``on`` keys and
     ``start_col <= point_col <= end_col`` (inclusive both ends).
 
-    Column-name note: aside from ``on``, the two inputs must not share
-    column names (alias before calling, as with any join).
+    ``how`` is ``"inner"`` or ``"left"``.  The exact BETWEEN predicate is
+    part of the JOIN CONDITION (not a post-filter): under ``"left"`` a
+    point whose bucket matches some interval but which lies inside none of
+    them is KEPT with null interval columns — the round-3 realization ran
+    BETWEEN as a ``.where`` after the join, which silently degraded every
+    outer join to inner (ADVICE r03, medium).  Because a point maps to
+    exactly one bucket, an unmatched left point yields exactly one null
+    row — no dedup needed on the outer path either.
+
+    Output columns: every ``points`` column (the ``on`` keys come from the
+    points side), then every non-key ``intervals`` column.  Aside from
+    ``on``, the two inputs must not share column names (alias first, as
+    with any join).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how must be 'inner' or 'left', got {how!r} (right/full outer "
+            "would need the intervals side deduped across its exploded "
+            "buckets — not supported)"
+        )
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     w = F.lit(float(bucket_width))
-    pb = points.withColumn("__b", F.floor(F.col(point_col) / w))
+    pb = points.withColumn("__b", F.floor(F.col(point_col) / w)).alias("__p")
     ib = intervals.withColumn(
         "__b",
         F.explode(
@@ -53,15 +70,25 @@ def interval_point_join(
                 F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w)
             )
         ),
+    ).alias("__i")
+    cond = F.col("__p.__b") == F.col("__i.__b")
+    for k in on:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    # Catalyst splits this mixed condition into the equi part (hash/sort
+    # join keys: on + __b) and the BETWEEN residual evaluated inside the
+    # join, so the plan shape is unchanged vs the post-filter realization.
+    cond = (
+        cond
+        & (F.col(f"__p.{point_col}") >= F.col(f"__i.{start_col}"))
+        & (F.col(f"__p.{point_col}") <= F.col(f"__i.{end_col}"))
     )
-    return (
-        pb.join(ib, [*on, "__b"], how)
-        .where(
-            (F.col(point_col) >= F.col(start_col))
-            & (F.col(point_col) <= F.col(end_col))
-        )
-        .drop("__b")
-    )
+    out_cols = [F.col(f"__p.{c}").alias(c) for c in points.columns]
+    out_cols += [
+        F.col(f"__i.{c}").alias(c)
+        for c in intervals.columns
+        if c not in on
+    ]
+    return pb.join(ib, cond, how).select(*out_cols)
 
 
 def interval_overlap_join(

@@ -149,8 +149,11 @@ def brute_force_topk(
         run_ids = [np.empty(0, dtype=object) for _ in range(nq)]
         for pdf in batches:
             # skip null AND wrong-dimension item embeddings (np.stack on a
-            # ragged column raises; the prior expression path scored 0.0)
-            pdf = pdf[pdf["emb"].map(lambda e: e is not None and len(e) == dim)]
+            # ragged column raises; the prior expression path scored 0.0).
+            # Vectorized: Series.str.len() is len() over the list/ndarray
+            # column (NaN for nulls) — no per-row Python lambda.
+            lens = pdf["emb"].str.len()
+            pdf = pdf[(lens == dim).to_numpy(dtype=bool)]
             if not len(pdf):
                 continue
             x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)  # (b, dim)

@@ -38,7 +38,23 @@ def duplicate_key_counts(df: DataFrame, keys: list[str]) -> DataFrame:
 def _duplicate_hash_survivors(df: DataFrame, keys: list[str]) -> DataFrame:
     """Rows whose ``xxhash64(keys)`` is duplicated — a superset of the true
     duplicate-key rows (hash collisions possible), produced with an 8-byte
-    shuffle + broadcast semi join; callers confirm exactly on true keys."""
+    shuffle + a semi join whose strategy AQE picks at runtime.
+
+    No forced ``F.broadcast`` here (ADVICE r03): an unconditional hint
+    would ship the duplicated-hash set to the driver even on a
+    heavily-duplicated input, where that set is proportional to distinct
+    duplicated keys and can exceed driver/executor memory at 10^12 rows.
+    With AQE on (every dff session), the duplicated-hash aggregate
+    materializes as a shuffle stage first; when it lands under
+    ``spark.sql.adaptive.autoBroadcastJoinThreshold`` (the expected case —
+    duplicates are the exception for a uniqueness CONSTRAINT) AQE rewrites
+    the semi join to broadcast and turns the big side's exchange into a
+    LOCAL shuffle read (map-output read back by the same tasks — no
+    network repartition of the raw rows); when it is huge, AQE keeps a
+    memory-safe shuffled join instead of OOMing the driver.  Verified at
+    runtime by tests/test_plans.py (executed adaptive plan shows
+    BroadcastHashJoin LeftSemi).
+    """
     key_hash = F.xxhash64(*keys)
     dup_hashes = (
         df.select(key_hash.alias("__h"))
@@ -48,7 +64,7 @@ def _duplicate_hash_survivors(df: DataFrame, keys: list[str]) -> DataFrame:
         .select("__h")
     )
     return df.withColumn("__h", key_hash).join(
-        F.broadcast(dup_hashes), "__h", "left_semi"
+        dup_hashes, "__h", "left_semi"
     ).drop("__h")
 
 

@@ -77,3 +77,22 @@ def test_one_shuffle_on_key(spark):
     # union + window: exactly one hash Exchange (on the key), no join node
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_null_timestamps_never_match_or_propagate(spark):
+    """ADVICE r03: a right row with a NULL timestamp must not match any
+    left row (Spark's nulls-first asc sort would otherwise propagate its
+    payload to the whole key group); a left row with a NULL timestamp
+    matches nothing."""
+    left = spark.createDataFrame(
+        [(1, _TS(5), "a"), (1, None, "l_null")], _L_SCHEMA
+    )
+    right = spark.createDataFrame(
+        [(1, None, "r_null", 99.0), (1, _TS(3), "r3", 3.0)], _R_SCHEMA
+    )
+    out = {
+        r["lid"]: (r["rid_r"], r["v_r"])
+        for r in asof_join(left, right, ["k"], "ts", ["rid", "v"]).collect()
+    }
+    assert out["a"] == ("r3", 3.0)          # null-ts right row ignored
+    assert out["l_null"] == (None, None)    # null-ts left row matches nothing

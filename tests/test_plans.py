@@ -134,9 +134,12 @@ def test_multi_stat_agg_single_exchange(spark):
 
 def test_uniqueness_branch_shuffles_hash_not_strings(spark):
     """The hash-compressed uniqueness plan: the only full-table Exchange
-    partitions on xxhash64(keys) (8 bytes/row), the duplicated-hash set
-    comes back via a BroadcastHashJoin LeftSemi, and no Exchange ever
-    partitions on the raw string key columns."""
+    partitions on xxhash64(keys) (8 bytes/row), and — since the r4 removal
+    of the forced broadcast hint (ADVICE r03: unconditional broadcast can
+    OOM on heavily-duplicated input) — AQE's RUNTIME plan must still
+    rewrite the duplicated-hash semi join to BroadcastHashJoin when the
+    set is small, so the raw key strings never repartition over the
+    network."""
     from dff.runner import ValidationConfig, ValidationRunner
 
     df = synthetic_source_files(spark, 2000, n_repos=50)
@@ -146,12 +149,22 @@ def test_uniqueness_branch_shuffles_hash_not_strings(spark):
         ))
     )
     verdicts = runner.row_verdicts(df)
-    plan = _plan(runner.violations(df, verdicts))
-    assert "Exchange hashpartitioning(__h" in plan, plan
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    out = runner.violations(df, verdicts)
+    static_plan = _plan(out)
+    assert "Exchange hashpartitioning(__h" in static_plan, static_plan
+    # execute, then read the FINAL adaptive plan: AQE must have converted
+    # the un-hinted semi join to broadcast at runtime
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, executed
+    # the string prints "== Final Plan ==" then "== Initial Plan ==";
+    # assert only on the final (post-AQE) section
+    final_plan = executed.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final_plan, final_plan
+    assert "LeftSemi" in final_plan, final_plan
     # the only string-key Exchange is the exact-confirm re-group, and its
     # subtree (printed beneath it) must be the LeftSemi survivor set —
-    # i.e. the raw table's strings never shuffle
-    parts = plan.split("Exchange hashpartitioning(repo")
-    assert len(parts) == 2, plan
-    assert "LeftSemi" in parts[1], plan
+    # i.e. the raw table's strings never shuffle in the final plan
+    parts = final_plan.split("Exchange hashpartitioning(repo")
+    assert len(parts) == 2, final_plan
+    assert "LeftSemi" in parts[1], final_plan

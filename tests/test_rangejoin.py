@@ -96,3 +96,38 @@ def test_interval_overlap_join_once_per_pair(spark):
     assert pairs == sorted(
         [("a", "x"), ("b", "x"), ("a", "y"), ("c", "w")]
     )  # each exactly once despite long shared bucket ranges
+
+
+def test_left_join_keeps_unmatched_points_with_nulls(spark):
+    """ADVICE r03 (medium): the BETWEEN predicate must live in the JOIN
+    condition — a left point whose bucket matches an interval but which
+    lies inside none must survive with null interval columns, and a point
+    with no bucket match at all must too."""
+    points = spark.createDataFrame(
+        [
+            (1, "p_in", 5.0),       # inside i1
+            (1, "p_bucket", 7.9),   # i1's bucket range, but outside [4,6]
+            (1, "p_nobucket", 50.0),  # no interval anywhere near
+            (3, "p_nokey", 5.0),    # key with no intervals
+        ],
+        _P,
+    )
+    intervals = spark.createDataFrame([(1, "i1", 4.0, 6.0)], _I)
+    out = interval_point_join(
+        points, intervals, ["k"], "v", "lo", "hi", bucket_width=4.0,
+        how="left",
+    )
+    got = {r["pid"]: r["iid"] for r in out.collect()}
+    assert got == {
+        "p_in": "i1", "p_bucket": None, "p_nobucket": None, "p_nokey": None
+    }
+    assert out.count() == 4  # exactly one row per point, matched or not
+    # inner unchanged: only the true match survives
+    inner = interval_point_join(
+        points, intervals, ["k"], "v", "lo", "hi", bucket_width=4.0
+    )
+    assert [(r["pid"], r["iid"]) for r in inner.collect()] == [("p_in", "i1")]
+    with pytest.raises(ValueError, match="how"):
+        interval_point_join(
+            points, intervals, ["k"], "v", "lo", "hi", 4.0, how="full"
+        )
