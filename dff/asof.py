@@ -92,3 +92,125 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"{c}{right_suffix}") for c in right_cols
     ]
     return filled.select(*out_cols)
+
+
+def asof_join_skewed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    bucket_width: float,
+    right_suffix: str = "_r",
+    right_order: list[str] | None = None,
+) -> DataFrame:
+    """Backward inclusive as-of join for HOT keys — identical results to
+    :func:`asof_join`, but a key's timeline is split across coarse time
+    buckets of ``bucket_width`` (seconds for timestamp ``ts_col``, value
+    units for numeric) so no single task ever sorts a whole hot key
+    (VERDICT r03 #3 — plain as-of inherently lands one key in one task).
+
+    Realization (all built-in ops, no UDF):
+
+    1. bucket both sides by ``floor(ts / width)``;
+    2. per (key, bucket) reduce the right side to its LAST row
+       (``max_by`` over (ts, right_order) — a summary row per non-empty
+       bucket, tiny);
+    3. running ``last`` of those summaries per key across buckets, then
+       ``lag`` by one bucket = each bucket's SEED: the newest right row
+       strictly before the bucket, injected as an extra side-0 row (its
+       ts is < the bucket start, so it sorts first and never outranks a
+       real in-bucket right row);
+    4. the same union + ordered window fill as :func:`asof_join`, but
+       partitioned by (key, bucket) — a hot key now spreads over
+       ``timeline span / width`` tasks.
+
+    Extra cost vs plain as-of: one aggregation of the right side plus a
+    kilobyte-scale summary shuffle; the main union shuffle is unchanged
+    in volume, only finer-keyed.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    right = right.where(F.col(ts_col).isNotNull())
+    w = F.lit(float(bucket_width))
+
+    def bkt(df: DataFrame, c: str):
+        # TIMESTAMP_NTZ (what parquet timestamps commonly read back as)
+        # cannot cast straight to double; hop through TIMESTAMP first.
+        # Any monotonic numeric mapping works for bucketing — the session
+        # timezone offset an NTZ->TZ cast introduces is a constant shift.
+        col = F.col(c)
+        if df.schema[c].dataType.typeName().startswith("timestamp"):
+            col = col.cast("timestamp")
+        return F.floor(col.cast("double") / w)
+
+    carry = list(dict.fromkeys([ts_col, *right_cols, *(right_order or [])]))
+    rstruct = F.struct(*[F.col(c) for c in carry])
+    ordstruct = F.struct(
+        F.col(ts_col), *[F.col(c) for c in (right_order or [])]
+    )
+    rb = right.withColumn("__bkt", bkt(right, ts_col))
+    lb = left.withColumn("__bkt", bkt(left, ts_col))
+
+    # (2) per-bucket last right row; (3) seed = running last shifted by one
+    summaries = rb.groupBy(*on, "__bkt").agg(
+        F.max_by(rstruct, ordstruct).alias("__r")
+    )
+    buckets = (
+        lb.select(*on, "__bkt").union(rb.select(*on, "__bkt")).distinct()
+    )
+    w_run = Window.partitionBy(*on).orderBy(F.col("__bkt").asc())
+    seeds = (
+        buckets.join(summaries, [*on, "__bkt"], "left")
+        .withColumn(
+            "__run",
+            F.last("__r", ignorenulls=True).over(
+                w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__seed", F.lag("__run").over(w_run))
+        .where(F.col("__seed").isNotNull())
+        .select(*on, "__bkt", F.col("__seed").alias("__r"))
+    )
+
+    # (4) union + in-bucket ordered window fill (asof_join's core, keyed
+    # by (on..., __bkt))
+    r2 = rb.select(
+        *on, "__bkt",
+        F.col(ts_col).alias("__ts"), rstruct.alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    s2 = seeds.select(
+        *on, "__bkt",
+        F.col("__r").getField(ts_col).alias("__ts"), F.col("__r"),
+        F.lit(0).alias("__side"),
+    )
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    l2 = lb.select(
+        *on, "__bkt",
+        F.col(ts_col).alias("__ts"),
+        F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"),
+        lstruct.alias("__l"),
+    )
+    null_l = F.lit(None).cast(l2.schema["__l"].dataType)
+    u = l2.unionByName(r2.withColumn("__l", null_l)).unionByName(
+        s2.withColumn("__l", null_l)
+    )
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    for c in right_order or []:
+        order.append(F.col("__r").getField(c).asc_nulls_first())
+    wf = (
+        Window.partitionBy(*on, "__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(wf)
+    ).where(F.col("__side") == 1)
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col(f"__match.{ts_col}").alias(f"{ts_col}{right_suffix}"))
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{c}{right_suffix}") for c in right_cols
+    ]
+    return filled.select(*out_cols)

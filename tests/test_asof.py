@@ -96,3 +96,96 @@ def test_null_timestamps_never_match_or_propagate(spark):
     }
     assert out["a"] == ("r3", 3.0)          # null-ts right row ignored
     assert out["l_null"] == (None, None)    # null-ts left row matches nothing
+
+
+def _skewed_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 1)
+    sec = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    right_rows = []
+    # hot key 1: 2000 right rows over ~28h, incl. deliberate ts ties
+    for i in range(2000):
+        s = rng.randrange(0, 100_000)
+        right_rows.append((1, sec(s), f"r{i:05d}", float(i)))
+        if i % 97 == 0:
+            right_rows.append((1, sec(s), f"t{i:05d}", float(i) + 0.5))
+    # sparse key 2, and key 3 with right rows only in early buckets
+    right_rows += [(2, sec(50), "r2a", 1.0), (2, sec(90_000), "r2b", 2.0)]
+    right_rows += [(3, sec(10), "r3a", 1.0)]
+    left_rows = []
+    for i in range(600):
+        left_rows.append((1, sec(rng.randrange(0, 110_000)), f"l{i:04d}"))
+    left_rows += [
+        (2, sec(10), "l_early"),          # before any key-2 right row
+        (2, sec(95_000), "l_late"),
+        (3, sec(99_999), "l_gap"),        # many empty buckets after r3a
+        (4, sec(500), "l_nokey"),         # key with no right rows
+    ]
+    return (
+        spark.createDataFrame(left_rows, _L_SCHEMA),
+        spark.createDataFrame(right_rows, _R_SCHEMA),
+    )
+
+
+def test_skewed_asof_identical_to_plain_on_hot_key(spark):
+    """VERDICT r03 #3: the coarse-time-bucket as-of must return EXACTLY
+    what plain asof_join returns on a skewed fixture — hot key, ts ties,
+    empty buckets between a right row and a much later left row, keys
+    with no right rows."""
+    from dff.asof import asof_join, asof_join_skewed
+
+    left, right = _skewed_fixture(spark)
+    kw = dict(on=["k"], ts_col="ts", right_cols=["rid", "v"],
+              right_order=["rid"])
+    plain = asof_join(left, right, **kw)
+    skewed = asof_join_skewed(left, right, bucket_width=3600.0, **kw)
+    key = lambda r: (r["k"], r["lid"])  # noqa: E731
+    a = sorted(map(tuple, plain.collect()), key=lambda t: (t[0], t[2]))
+    b = sorted(map(tuple, skewed.collect()), key=lambda t: (t[0], t[2]))
+    assert a == b
+    assert len(a) == left.count()
+
+
+def test_skewed_asof_window_partitions_by_bucket(spark):
+    """The in-bucket fill window must partition on (key, bucket) — that is
+    the mechanism that splits a hot key across tasks."""
+    from dff.asof import asof_join_skewed
+
+    left, right = _skewed_fixture(spark)
+    plan = (
+        asof_join_skewed(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid", "v"],
+            bucket_width=3600.0, right_order=["rid"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the fill window's partition spec carries __bkt alongside k
+    assert "windowspecdefinition(k" in plan and "__bkt" in plan, plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(k#\d+L?, __bkt#\d+", plan)
+    assert specs, plan
+
+
+def test_skewed_asof_handles_timestamp_ntz(spark):
+    """Parquet timestamps read back as TIMESTAMP_NTZ, which cannot cast
+    straight to double — the bucketing expression must hop through
+    TIMESTAMP (found driving the real sf0.001 events table)."""
+    from dff.asof import asof_join_skewed
+
+    ntz = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("rid", T.StringType()),
+        ]
+    )
+    left = spark.createDataFrame([(1, _TS(5), "a")], ntz)
+    right = spark.createDataFrame([(1, _TS(3), "r3")], ntz)
+    out = asof_join_skewed(
+        left, right, on=["k"], ts_col="ts", right_cols=["rid"],
+        bucket_width=60.0,
+    ).collect()
+    assert [(r["rid"], r["rid_r"]) for r in out] == [("a", "r3")]
