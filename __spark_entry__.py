@@ -774,6 +774,26 @@ EVENT_RULESET = {
 }
 
 
+def _stream_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a DIRECTORY; the testdata table is a
+    single file -> stage a symlink dir (testdata is read-only).  The dir
+    name is content-stable (NOT Python hash(): per-process seed
+    randomization would leak one new dir per run)."""
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        return src
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"dff-stream-{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stage
+
+
 def q_stream_window_counts(spark, sf_dir):
     from dff.runner import ValidationConfig, ValidationRunner
     from dff.streaming import windowed_violation_counts
@@ -783,22 +803,7 @@ def q_stream_window_counts(spark, sf_dir):
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        src = f"{sf_dir}/events.parquet"
-        if not os.path.isdir(src):
-            # FileStreamSource requires a DIRECTORY; the testdata table is a
-            # single file -> stage a symlink dir (read-only testdata)
-            import hashlib
-            import tempfile
-
-            # content-stable name (NOT Python hash(): per-process seed
-            # randomization would leak one new dir per run)
-            tag = hashlib.sha256(src.encode()).hexdigest()[:12]
-            stage = os.path.join(tempfile.gettempdir(), f"dff-stream-{tag}")
-            os.makedirs(stage, exist_ok=True)
-            link = os.path.join(stage, "events.parquet")
-            if not os.path.exists(link):
-                os.symlink(src, link)
-            src = stage
+        src = _stream_dir(sf_dir)
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
             spark.readStream.schema(schema)
@@ -830,6 +835,79 @@ def q_stream_window_counts(spark, sf_dir):
         if not q.awaitTermination(300):
             q.stop()
         return spark.table("stream_window_counts")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def q_row_attribution(spark, sf_dir):
+    """Per-row multi-constraint attribution (dff/runner.py:row_attribution,
+    VERDICT r03 #5): one row per (doc, violated constraint) — EVERY
+    triggered DAG rule, not just the first-win verdict, plus a failed
+    broadcast referential check (lang ∉ allowed dim).  Map-only fused
+    plan; oracle is a plain UNION ALL of the per-constraint predicates."""
+    from dff.runner import ReferentialCheck, ValidationConfig, ValidationRunner
+
+    docs = _t(spark, sf_dir, "documents")
+    allowed = spark.createDataFrame([("en",), ("de",), ("fr",)], "lang string")
+    runner = ValidationRunner(
+        ValidationConfig(
+            ruleset=parse_json(DOC_RULESET),
+            key_cols=("doc_id", "lang"),
+            part_col="source",
+            unique_keys=None,
+            referential=[
+                ReferentialCheck(
+                    dim=allowed, on=["lang"], constraint_id="lang_allowed",
+                    dim_is_distinct=True,
+                )
+            ],
+        )
+    )
+    return runner.row_attribution(docs).select("doc_id", "constraint_id")
+
+
+def q_session_counts(spark, sf_dir):
+    """Event-time gap sessionization (dff/streaming.py:event_time_sessions)
+    replayed deterministically with availableNow: sessions split where
+    consecutive same-user events are >= 30 min apart; append mode emits
+    every session finalized by the final watermark (end <= max event
+    time).  Oracle is a gaps-and-islands SQL with the same cutoff."""
+    from dff.streaming import event_time_sessions
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        src = _stream_dir(sf_dir)
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        )
+        sess = event_time_sessions(
+            stream, ts_col="ts", key_cols=("user_id",), gap="30 minutes",
+            watermark_delay="0 seconds",
+        )
+        out = sess.select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias(
+                "session_start"
+            ),
+            F.col("session_window.end").cast("timestamp_ntz").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("session_counts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        return spark.table("session_counts")
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
@@ -887,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_consistency_violations": q_ivf_consistency_violations,
         "embedding_near_dups": q_embedding_near_dups,
         "stream_window_counts": q_stream_window_counts,
+        "session_counts": q_session_counts,
+        "row_attribution": q_row_attribution,
         "multimodal_bytes": q_multimodal_bytes,
         "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
@@ -1199,6 +1279,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE verdict_id IS NOT NULL
             GROUP BY day, verdict_id
+        """,
+        # gaps-and-islands sessionization mirroring session_window: a new
+        # session starts when the gap to the previous same-user event is
+        # >= 30 min; session end = last event + gap; append-mode emission
+        # cutoff = sessions finalized by the final watermark (max ts)
+        "session_counts": """
+            WITH e AS (SELECT user_id, ts FROM events),
+            d AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            ),
+            sess AS (
+              SELECT user_id,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events
+            FROM sess
+            WHERE session_end <= (SELECT MAX(ts) FROM events)
+        """,
+        # one UNION ALL branch per constraint: every triggered rule (no
+        # first-win collapse) + the lang referential miss (NULL lang joins
+        # to nothing -> violation, hence the IS NULL arm)
+        "row_attribution": """
+            SELECT doc_id, 'R1' AS constraint_id FROM documents
+              WHERE text IS NULL OR length(text) = 0
+            UNION ALL
+            SELECT doc_id, 'R2' FROM documents WHERE n_chars < 40
+            UNION ALL
+            SELECT doc_id, 'R3' FROM documents
+              WHERE lang = 'zh' AND n_chars > 400
+            UNION ALL
+            SELECT doc_id, 'lang_allowed' FROM documents
+              WHERE lang IS NULL OR lang NOT IN ('en', 'de', 'fr')
         """,
         "salted_stats": """
             SELECT lang, count(*) AS rows, count(n_chars) AS non_null,

@@ -103,6 +103,27 @@ class CompiledRules:
             for c in self.ruleset.topo_order
         ]
 
+    def all_triggered(self) -> Column:
+        """Array of EVERY rule id whose score meets sensitivity, in topo
+        order — the per-row multi-constraint attribution the first-win
+        ``verdict_id`` collapses (the engine's per-row analog of the
+        reference's SHAP explain step, 01_dff_model.py:289-306; VERDICT
+        r03 #5).  Empty array when nothing triggers.  ``requires`` edges
+        order evaluation, they do not gate it (reference semantics:
+        02_dff_orchestration.py:215-250), so triggers are independent and
+        the column stays a plain vectorized expression."""
+        if not self.ruleset.constraints:
+            return F.array().cast("array<string>")
+        sens = F.lit(float(self.ruleset.sensitivity))
+        return F.array_compact(
+            F.array(
+                *[
+                    F.when(self.scores[r.id] >= sens, F.lit(r.id))
+                    for r in self.ruleset.topo_order
+                ]
+            )
+        )
+
 
 def compile_rule(
     rule: Constraint,

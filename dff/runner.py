@@ -114,6 +114,42 @@ class ValidationRunner:
             compiled.verdict.alias("verdict"),
         )
 
+    # -- per-row attribution -------------------------------------------
+    def row_attribution(self, df: DataFrame) -> DataFrame:
+        """Per-row MULTI-constraint attribution (VERDICT r03 #5): one
+        output row per (row, violated constraint) — every triggered rule
+        (not just the first-win verdict) plus every failed referential
+        check.  Same fused map-only shape as the violations() rule branch:
+        broadcast-joined dimension markers + one vectorized array build +
+        explode, zero shuffle of the fact table.  Plain-SQL-reproducible,
+        so it sits under the driver's oracle gate (``row_attribution``)."""
+        cfg = self.config
+        compiled = compile_ruleset(cfg.ruleset, df, cfg.scorers)
+        key_sel = [*cfg.key_cols, cfg.part_col]
+        fused = df
+        entries = [compiled.all_triggered()]
+        empty = F.array().cast("array<string>")
+        for i, check in enumerate(cfg.referential):
+            marker = f"__ref_ok_{i}"
+            d = check.dim.select(*check.on)
+            if not check.dim_is_distinct:
+                d = d.distinct()
+            fused = fused.join(
+                F.broadcast(d.withColumn(marker, F.lit(1))), check.on, "left"
+            )
+            entries.append(
+                F.when(
+                    F.col(marker).isNull(),
+                    F.array(F.lit(check.constraint_id)),
+                ).otherwise(empty)
+            )
+        arr = F.concat(*entries) if len(entries) > 1 else entries[0]
+        return (
+            fused.withColumn("__attr", arr)
+            .where(F.size("__attr") > 0)
+            .select(*key_sel, F.explode("__attr").alias("constraint_id"))
+        )
+
     # -- violations ----------------------------------------------------
     def violations(self, df: DataFrame, verdicts: DataFrame) -> DataFrame:
         """All constraint violations as a union of two shuffle-lean branches.

@@ -220,3 +220,54 @@ def test_torn_append_invisible_to_reads_and_resume(spark, tmp_path):
         r["partition_id"]
         for r in store.completed_partitions("snap1", "v1").collect()
     ) == [0, 7]
+
+
+def test_row_attribution_reports_every_constraint_not_first_win(spark):
+    """VERDICT r03 #5: row_attribution must list EVERY violated constraint
+    per row — a row triggering two rules AND failing a referential check
+    yields three attribution rows, while verdict_id collapses to the
+    first-win rule only."""
+    rows = [
+        # (repo, path, commit, lang, content, part_id)
+        ("r1", "a.py", "c1", "xx", "", 0),      # R_empty + R_badlang + ref
+        ("r1", "b.py", "c1", "py", "x = 1", 0),  # clean
+        ("r1", "c.py", "c1", "py", "", 1),       # R_empty only
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, part_id int"
+    )
+    dim = spark.createDataFrame([("py",), ("go",)], "lang string")
+    runner = ValidationRunner(
+        ValidationConfig(
+            ruleset=parse_json(
+                {
+                    "rules": [
+                        {"id": "R_empty", "name": "length(content) = 0",
+                         "requires": []},
+                        {"id": "R_badlang", "name": "lang = 'xx'",
+                         "requires": ["R_empty"]},
+                    ]
+                }
+            ),
+            key_cols=("repo", "path", "commit", "lang"),
+            unique_keys=None,
+            referential=[
+                ReferentialCheck(
+                    dim=dim, on=["lang"], constraint_id="lang_ref",
+                    dim_is_distinct=True,
+                )
+            ],
+        )
+    )
+    attr = sorted(
+        (r["path"], r["constraint_id"])
+        for r in runner.row_attribution(df).collect()
+    )
+    assert attr == [
+        ("a.py", "R_badlang"), ("a.py", "R_empty"), ("a.py", "lang_ref"),
+        ("c.py", "R_empty"),
+    ]
+    # contrast: the first-win verdict collapses a.py to R_empty alone
+    v = {r["path"]: r["verdict_id"] for r in runner.row_verdicts(df).collect()}
+    assert v == {"a.py": "R_empty", "b.py": None, "c.py": "R_empty"}
