@@ -107,3 +107,35 @@ def test_brute_force_tolerates_null_and_ragged_embeddings(spark):
     ).withColumnRenamed("vec_id", "query_id")
     with pytest.raises(ValueError, match="inconsistent dimensions"):
         brute_force_topk(items, ragged_q, k=2)
+
+
+def test_ivf_index_save_load_prunes_partitions(spark, tmp_path):
+    """VERDICT r03 #6: a reloaded index (assigned partitioned by cell)
+    must (a) return exactly what the in-memory index returns, and (b)
+    scan ONLY the probed cells — a static `cell IN (...)` partition
+    filter in the file scan, not a full-table read."""
+    from dff.similarity import IvfIndex, build_ivf_index
+
+    items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = items.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = build_ivf_index(items, n_centroids=8)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+    mem = sorted(map(tuple, idx.query(queries, k=5, nprobe=2).collect()))
+    out = loaded.query(queries, k=5, nprobe=2)
+    dsk = sorted(map(tuple, out.collect()))
+    assert mem == dsk and len(dsk) == 25
+    # the driver-side assignment must also agree with the distributed UDF
+    udf = sorted(
+        map(tuple, idx.query(queries, k=5, nprobe=2, prune_cells=False).collect())
+    )
+    assert udf == mem
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    probed = [int(v) for v in m.group(1).split(",")]
+    assert 0 < len(probed) < 8  # strictly fewer than all cells scanned
