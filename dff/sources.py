@@ -224,3 +224,59 @@ def commits_dim(spark: SparkSession, n_repos: int = 1000) -> DataFrame:
 
 def langs_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(lg,) for lg in ALLOWED_LANGS], ["lang"])
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    n: int,
+    n_words: int = 40,
+    vocab: int = 5000,
+    dup_every: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic document corpus for engine-scale dedup benchmarks
+    (VERDICT r03 #1/#4: the LSH path must be timed above gate-table
+    sizes without touching the read-only sf tables).
+
+    Pure JVM expressions — ``n_words`` hash-picked vocab words per doc,
+    and every ``dup_every``-th row copies the PREVIOUS row's text plus a
+    one-word suffix, planting ~1/dup_every near-duplicate pairs whose
+    Jaccard is high but < 1 (exercises the verify stage, not just exact
+    hashing).  Columns: (doc_id, text).
+    """
+    src = F.when(
+        (F.col("id") % dup_every == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(src, F.lit(i), F.lit(seed)), F.lit(vocab)).cast(
+                "string"
+            ),
+        )
+        for i in range(n_words)
+    ]
+    text = F.concat_ws(" ", *words)
+    text = F.when(
+        (F.col("id") % dup_every == 1) & (F.col("id") > 0),
+        F.concat(text, F.lit(" wdup")),
+    ).otherwise(text)
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def synthetic_embeddings(
+    spark: SparkSession, n: int, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """Deterministic embedding corpus (vec_id, embedding array<double>)
+    with hash-uniform components in [-1, 1] — JVM-side generation only."""
+    comps = [
+        (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(j), F.lit(seed)), F.lit(100_000))
+            / F.lit(50_000.0)
+            - F.lit(1.0)
+        )
+        for j in range(dim)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )

@@ -196,3 +196,19 @@ def test_eager_false_is_lazy_and_equal(spark):
         df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
     )
     assert {tuple(r) for r in lazy.collect()} == {tuple(r) for r in eager.collect()}
+
+
+def test_minhash_slim_and_payload_band_shapes_identical(spark):
+    """r4: the slim two-phase banding (40 B/doc band shuffle + one
+    signature join) must return exactly the pairs the payload shape
+    (signatures carried through the band shuffle) returns."""
+    from dff.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, 2000, dup_every=10)
+    kw = dict(num_hashes=64, bands=16, threshold=0.5)
+    slim = minhash_dedup_pairs(docs, "doc_id", "text", slim_bands=True, **kw)
+    fat = minhash_dedup_pairs(docs, "doc_id", "text", slim_bands=False, **kw)
+    rs = sorted((r["id_a"], r["id_b"], round(r["est_jaccard"], 9)) for r in slim.collect())
+    rf = sorted((r["id_a"], r["id_b"], round(r["est_jaccard"], 9)) for r in fat.collect())
+    assert rs == rf
+    assert len(rs) >= 150  # the planted ~1/10 near-dups are found

@@ -139,3 +139,24 @@ def test_ivf_index_save_load_prunes_partitions(spark, tmp_path):
     assert m, plan
     probed = [int(v) for v in m.group(1).split(",")]
     assert 0 < len(probed) < 8  # strictly fewer than all cells scanned
+
+
+def test_brute_force_all_null_queries_returns_empty(spark):
+    """ADVICE r03: when EVERY query embedding is null the early-return
+    guard must yield an empty frame with the output schema — not an
+    opaque numpy IndexError from a 1-D empty matrix."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    items = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    q = spark.createDataFrame(
+        [(10, None), (11, None)], schema
+    ).withColumnRenamed("vec_id", "query_id")
+    out = brute_force_topk(items, q, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "item_id", "cosine", "rank"}
