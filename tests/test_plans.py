@@ -134,12 +134,12 @@ def test_multi_stat_agg_single_exchange(spark):
 
 def test_uniqueness_branch_shuffles_hash_not_strings(spark):
     """The hash-compressed uniqueness plan: the only full-table Exchange
-    partitions on xxhash64(keys) (8 bytes/row), and — since the r4 removal
-    of the forced broadcast hint (ADVICE r03: unconditional broadcast can
-    OOM on heavily-duplicated input) — AQE's RUNTIME plan must still
-    rewrite the duplicated-hash semi join to BroadcastHashJoin when the
-    set is small, so the raw key strings never repartition over the
-    network."""
+    partitions on xxhash64(keys) (8 bytes/row), and the duplicated-hash
+    semi join must execute as a BroadcastHashJoin when the set is small —
+    r4 replaced the unconditional broadcast hint (ADVICE r03: can OOM on
+    heavily-duplicated input) with a size-guarded one (persist + bounded
+    count), so the raw key strings still never repartition over the
+    network in the sparse-duplicate case."""
     from dff.runner import ValidationConfig, ValidationRunner
 
     df = synthetic_source_files(spark, 2000, n_repos=50)

@@ -104,3 +104,28 @@ def test_langs_dim_join_matches_inlist(spark):
     via_join = orphan_rows(df.where(F.col("lang").isNotNull()), langs_dim(spark), ["lang"])
     via_inlist = allowed_values_violations(df, "lang", ALLOWED_LANGS)
     assert via_join.count() == via_inlist.count()
+
+
+def test_duplicate_hash_survivors_falls_back_when_dup_set_large(spark, monkeypatch):
+    """r4 size guard (ADVICE r03): an over-limit duplicated-hash set must
+    NOT broadcast — the semi join falls back to a shuffled strategy with
+    identical results."""
+    import dff.uniqueness as u
+
+    df = spark.createDataFrame(
+        [(i % 50, f"p{i}") for i in range(400)], "k long, payload string"
+    )
+    normal = u._duplicate_hash_survivors(df, ["k"])
+    monkeypatch.setattr(u, "MAX_BROADCAST_DUP_HASHES", 1)
+    fallback = u._duplicate_hash_survivors(df, ["k"])
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, normal.collect())
+    )
+    # over-limit path: the PLANNED join carries no broadcast hint (at real
+    # scale that is what prevents the driver OOM; on this tiny fixture AQE
+    # may still legitimately re-broadcast from runtime stats — that's the
+    # safe, stats-driven path, not the forced one)
+    opt_fb = fallback._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in opt_fb.lower(), opt_fb
+    opt_n = normal._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in opt_n.lower(), opt_n
