@@ -14,11 +14,19 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.referential`` broadcast left-anti/semi referential checks.
 - ``dff.drift``      PSI + two-sample KS distribution drift vs a baseline snapshot.
 - ``dff.checkpoint`` per-partition lineage + resume planning.
-- ``dff.runner``     orchestration: validate -> verdicts/violations/metrics.
+- ``dff.runner``     orchestration: validate -> verdicts/violations/metrics,
+                     per-row multi-constraint attribution.
 - ``dff.sources``    deterministic synthetic source-code table generator.
 - ``dff.textops``    language-ID, quality scoring, token counting, fingerprinting.
 - ``dff.dedup``      exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding dedup.
-- ``dff.similarity`` brute-force and LSH/IVF approximate nearest-neighbor search.
+- ``dff.similarity`` brute-force and LSH/IVF approximate nearest-neighbor search,
+                     persistable cell-partitioned IVF index.
+- ``dff.asof``       as-of join (plain + skew-aware coarse-bucket realization).
+- ``dff.rangejoin``  binned point-in-interval (inner/left) + interval-overlap joins.
+- ``dff.streaming``  foreachBatch validation, watermarked window aggs, event-time
+                     sessions, bounded-state dedup, exactly-once incremental rollup.
+- ``dff.tdigest``    from-scratch mergeable t-digest quantile sketches.
+- ``dff.model``      distributed GBT scorer (train/CV/AUC) + DAG integration.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 

@@ -7,8 +7,9 @@ no per-column scans, no global sort.  The KS statistic is computed from the
 binned empirical CDFs (shared bin edges with PSI), deliberately avoiding
 ``cume_dist`` over a global ``Window.orderBy`` which would single-task the
 table (SURVEY.md §7.3).  The final small-statistics math (PSI/KS over a few
-dozen bucket counts per partition) runs in an Arrow-batched
-``applyInPandas`` — the only Python in the path, over kilobytes of data.
+dozen bucket counts per partition) is pure Catalyst arithmetic with the
+baseline folded into literals — no shuffle and no Python anywhere in the
+validation drift path.
 
 Exact KS is also provided for small-scale test verification.
 """
@@ -177,6 +178,50 @@ def partition_histograms(
     return src.groupBy(part_col).agg(*histogram_exprs(spec), *(extra_aggs or []))
 
 
+def _column_drift_exprs(
+    bins, baseline: dict[str, np.ndarray], eps: float = 1e-6
+) -> tuple[Column, Column]:
+    """(psi, ks) Catalyst expressions for one tracked column, replicating
+    :func:`psi` / :func:`ks_binned` term by term with the baseline side
+    folded into literals (it is constant across every partition row)."""
+
+    def fold(xs):
+        e = xs[0]
+        for x in xs[1:]:
+            e = e + x
+        return e
+
+    h = [
+        F.coalesce(F.col(f"h__{bins.column}__{b}").cast("double"), F.lit(0.0))
+        for b in range(bins.n_buckets)
+    ]
+    base = np.asarray(baseline[bins.column], dtype=np.float64)
+    p = base / max(base.sum(), 1.0)
+    p_psi = np.clip(p, eps, None)
+    p_psi = p_psi / p_psi.sum()
+    p_cdf = np.cumsum(p)
+
+    qt = F.greatest(fold(h), F.lit(1.0))
+    q = [c / qt for c in h]
+    # psi: clip -> renormalize -> sum((q-p) * ln(q/p))
+    qc = [F.greatest(x, F.lit(eps)) for x in q]
+    qs = fold(qc)
+    terms = []
+    for b in range(bins.n_buckets):
+        qb = qc[b] / qs
+        pb = F.lit(float(p_psi[b]))
+        terms.append((qb - pb) * F.log(qb / pb))
+    psi_expr = fold(terms)
+    # ks: max |cdf(p) - cdf(q)| over the shared bins
+    run = None
+    diffs = []
+    for b in range(bins.n_buckets):
+        run = q[b] if run is None else run + q[b]
+        diffs.append(F.abs(run - F.lit(float(p_cdf[b]))))
+    ks_expr = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    return psi_expr, ks_expr
+
+
 def drift_from_histograms(
     hist: DataFrame,
     part_col: str,
@@ -185,9 +230,42 @@ def drift_from_histograms(
 ) -> DataFrame:
     """PSI/KS per (partition, column) from precomputed bucket counts.
 
-    Input is tiny (n_parts rows x n_buckets cols); the statistics math runs
-    in an Arrow-batched ``applyInPandas`` — the only Python in the path.
+    Pure Catalyst: a map-only projection over the (tiny) histogram frame —
+    the baseline side is constant-folded into literals and the statistics
+    are ordinary arithmetic over a few dozen bucket counts, so NO shuffle
+    and NO Python worker run here.  The previous ``applyInPandas``
+    realization was numerically fine but each of its ``shuffle.partitions``
+    tasks paid a Python-worker round-trip for kilobytes of work — measured
+    17.8s at local[8] vs 4s at local[2] on this host (the task count grows
+    with parallelism while the work doesn't), which single-handedly sank
+    the N->4N scaling gate.  Expressions make the cost ~0 at ANY
+    parallelism; :func:`drift_from_histograms_pandas` is kept as the
+    numpy cross-check used by the parity test.
     """
+    pairs = []
+    for bins in spec.all_bins:
+        psi_e, ks_e = _column_drift_exprs(bins, baseline)
+        pairs.append(
+            F.struct(
+                F.lit(bins.column).alias("column"),
+                psi_e.alias("psi"),
+                ks_e.alias("ks"),
+            )
+        )
+    return hist.select(
+        F.col(part_col).cast("int").alias("part_id"),
+        F.inline(F.array(*pairs)),
+    )
+
+
+def drift_from_histograms_pandas(
+    hist: DataFrame,
+    part_col: str,
+    spec: DriftSpec,
+    baseline: dict[str, np.ndarray],
+) -> DataFrame:
+    """numpy reference realization of :func:`drift_from_histograms`
+    (Arrow-batched ``applyInPandas``); retained for parity testing."""
     bins_meta = [(b.column, b.n_buckets) for b in spec.all_bins]
     baseline_plain = {k: v.tolist() for k, v in baseline.items()}
 
@@ -221,9 +299,10 @@ def drift_by_partition(
 ) -> DataFrame:
     """Per-partition PSI/KS vs the baseline snapshot.
 
-    One shuffle: ``groupBy(part_col)`` over pre-aggregated bucket counts
+    One shuffle total: the ``groupBy(part_col)`` histogram aggregation
     (map-side combine makes the shuffled volume ``n_parts x n_buckets``
-    longs, independent of row count).  See :func:`partition_histograms` /
+    longs, independent of row count); the statistics projection on top is
+    map-only.  See :func:`partition_histograms` /
     :func:`drift_from_histograms` to fuse extra per-partition aggregates
     into the same scan.
     """

@@ -203,12 +203,27 @@ def write_report(results: dict) -> None:
         "cache fill (violations.count() materializes base + violations in",
         "one decode pass; the old separate base.count() was a fixed extra",
         "job that taxed the high level proportionally more); fusing the",
-        "per-partition row count into the drift-histogram scan.",
+        "per-partition row count into the drift-histogram scan; pure-",
+        "Catalyst drift statistics (the applyInPandas PSI/KS finalizer paid",
+        "a Python-worker round-trip per shuffle task for kilobytes of math",
+        "— a per-task fixed cost that GROWS with parallelism and alone",
+        "dragged skew efficiency to 0.69; constant-folding the baseline",
+        "into literal expressions made it ~0 at any level).",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines))
+    report_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-maintained sections (e.g. the engine-scale dedup bench)
+    # that live below this script's own report
+    tail = ""
+    if os.path.exists(report_path):
+        with open(report_path) as f:
+            old = f.read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
+    with open(report_path, "w") as f:
+        f.write("\n".join(lines) + tail)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 
 

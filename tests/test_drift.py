@@ -80,3 +80,71 @@ def test_drifted_partition_flagged(spark):
     assert len_ks[3] > 0.15
     # per-partition sampling noise ~1/sqrt(1200); stay clearly below the flag
     assert (len_ks.drop(3) < 0.12).all()
+
+
+def test_expr_drift_matches_pandas_reference(spark):
+    """The Catalyst-expression PSI/KS must agree with the numpy reference
+    realization term for term (same clipping/renormalization), including on
+    empty and single-bucket-dominated partitions."""
+    from pyspark.sql import functions as F
+
+    from dff.drift import (
+        drift_from_histograms,
+        drift_from_histograms_pandas,
+        partition_histograms,
+    )
+
+    spec = _spec()
+    base_df = synthetic_source_files(spark, 8000, n_repos=50, plant_violations=False)
+    baseline = snapshot(base_df, spec)
+    cur = synthetic_source_files(
+        spark, 8000, n_repos=50, plant_violations=False, drift_part=2
+    )
+    hist = partition_histograms(cur, "part_id", spec)
+    got = (
+        drift_from_histograms(hist, "part_id", spec, baseline)
+        .toPandas()
+        .sort_values(["part_id", "column"])
+        .reset_index(drop=True)
+    )
+    want = (
+        drift_from_histograms_pandas(hist, "part_id", spec, baseline)
+        .toPandas()
+        .sort_values(["part_id", "column"])
+        .reset_index(drop=True)
+    )
+    assert list(got["part_id"]) == list(want["part_id"])
+    assert list(got["column"]) == list(want["column"])
+    assert np.allclose(got["psi"], want["psi"], rtol=0, atol=1e-9)
+    assert np.allclose(got["ks"], want["ks"], rtol=0, atol=1e-9)
+    # all-empty histogram row: both sides must agree (qt clamps to 1)
+    empty = hist.limit(1).select(
+        F.lit(99).alias("part_id"),
+        *[
+            F.lit(0).cast("long").alias(c)
+            for c in hist.columns
+            if c.startswith("h__")
+        ],
+    )
+    ge = drift_from_histograms(empty, "part_id", spec, baseline).toPandas()
+    we = drift_from_histograms_pandas(empty, "part_id", spec, baseline).toPandas()
+    ge = ge.sort_values("column").reset_index(drop=True)
+    we = we.sort_values("column").reset_index(drop=True)
+    assert np.allclose(ge["psi"], we["psi"], atol=1e-9)
+    assert np.allclose(ge["ks"], we["ks"], atol=1e-9)
+
+
+def test_drift_projection_is_shuffle_free(spark):
+    """drift_from_histograms on top of the histogram agg must add NO extra
+    Exchange: the whole per-partition drift plan contains exactly the one
+    histogram-aggregation shuffle and no Python evaluation node."""
+    from dff.drift import drift_from_histograms, partition_histograms
+
+    spec = _spec()
+    base_df = synthetic_source_files(spark, 2000, n_repos=20, plant_violations=False)
+    baseline = snapshot(base_df, spec)
+    hist = partition_histograms(base_df, "part_id", spec)
+    drift = drift_from_histograms(hist, "part_id", spec, baseline)
+    plan = drift._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan, plan
