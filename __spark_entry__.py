@@ -731,6 +731,56 @@ def q_tdigest_accuracy_violations(spark, sf_dir):
     return checked.where(bad).select("group_key", "q")
 
 
+def _doc_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+
+
+def q_heavy_hitters_exact(spark, sf_dir):
+    """Misra-Gries heavy hitters (dff/heavyhitters.py) at a capacity that
+    covers every distinct token: no truncation ever fires, so the sketch
+    output EQUALS the exact token counts — plain GROUP BY SQL is a valid
+    oracle and the whole two-stage mapInPandas -> applyInPandas merge path
+    is value-hash-checked end to end."""
+    from dff.heavyhitters import heavy_hitters
+
+    hh = heavy_hitters(_doc_tokens(spark, sf_dir), "tok", capacity=256)
+    return hh.select(F.col("item").alias("tok"), F.col("est").alias("cnt"))
+
+
+def q_heavy_hitters_violations(spark, sf_dir):
+    """Driver-checkable Misra-Gries INVARIANT at a capacity (8) far below
+    the ~30 distinct tokens, so decrements genuinely fire: for every token,
+    est <= true and true - est(or 0 if evicted) <= floor(N/(capacity+1)) —
+    which also forces any token more frequent than that bound to survive.
+    The reported n_total / max_undercount must agree with the exact totals.
+    Violations returned, expected EMPTY; the guarantee is topology-
+    independent, so the invariant is deterministic even though the
+    surviving counter set is not."""
+    from dff.heavyhitters import heavy_hitters
+
+    cap = 8
+    toks = _doc_tokens(spark, sf_dir)
+    hh = heavy_hitters(toks, "tok", capacity=cap)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    totals = exact.agg(F.sum("true_cnt").alias("n")).select(
+        "n", F.floor(F.col("n") / (cap + 1)).alias("bound")
+    )
+    j = exact.crossJoin(F.broadcast(totals)).join(
+        hh.withColumnRenamed("item", "tok"), "tok", "left"
+    )
+    est0 = F.coalesce(F.col("est"), F.lit(0))
+    bad = (
+        (F.col("est") > F.col("true_cnt"))
+        | (F.col("true_cnt") - est0 > F.col("bound"))
+        | (F.col("est").isNotNull() & (F.col("n_total") != F.col("n")))
+        | (F.col("est").isNotNull() & (F.col("max_undercount") != F.col("bound")))
+    )
+    return j.where(bad).select("tok")
+
+
 def q_multimodal_bytes(spark, sf_dir):
     """Multimodal plumbing under the driver gate: documents re-encoded as
     opaque ``binary`` media payloads, pushed through the REAL Arrow-batched
@@ -997,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_attribution": q_row_attribution,
         "multimodal_bytes": q_multimodal_bytes,
         "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
+        "heavy_hitters_exact": q_heavy_hitters_exact,
+        "heavy_hitters_violations": q_heavy_hitters_violations,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / trained IVF cells have no cross-engine twin); each
@@ -1245,6 +1297,20 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "tdigest_accuracy_violations": """
             SELECT CAST(NULL AS VARCHAR) AS group_key, CAST(NULL AS DOUBLE) AS q
+            WHERE 1 = 0
+        """,
+        # capacity >= distinct tokens => Misra-Gries is exact, so the sketch
+        # path must reproduce plain token counts bit for bit
+        "heavy_hitters_exact": """
+            SELECT tok, COUNT(*) AS cnt
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+        """,
+        "heavy_hitters_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS tok
             WHERE 1 = 0
         """,
         # full-probe IVF == exact brute force (every cell probed), so the

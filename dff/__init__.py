@@ -26,6 +26,7 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.streaming``  foreachBatch validation, watermarked window aggs, event-time
                      sessions, bounded-state dedup, exactly-once incremental rollup.
 - ``dff.tdigest``    from-scratch mergeable t-digest quantile sketches.
+- ``dff.heavyhitters`` from-scratch mergeable Misra-Gries frequent items.
 - ``dff.model``      distributed GBT scorer (train/CV/AUC) + DAG integration.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
