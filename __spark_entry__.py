@@ -781,6 +781,39 @@ def q_heavy_hitters_violations(spark, sf_dir):
     return j.where(bad).select("tok")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic content-hash stratified sampling (dff/sampling.py):
+    keep iff the first 60 bits of md5(seed|doc_id) / 2^60 land under the
+    per-lang CASE threshold — a pure map-side predicate, stable under any
+    repartitioning, and exactly replayable in DuckDB (same md5, same hex
+    prefix, same IEEE division), so the SELECTED ROW SET is value-hash-
+    checked cross-engine, not just the sample rate."""
+    from dff.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.25, "zh": 0.75, "es": 1.0},
+        key_cols=["doc_id"],
+        default=0.5,
+        seed=7,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Exactly-n-per-group deterministic sampling: rank rows in each lang
+    by the same content hash (doc_id tie-break) and keep the first 3 —
+    ONE shuffle, and the chosen ids replay identically in DuckDB via the
+    mirrored row_number() window."""
+    from dff.sampling import sample_n_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_n_per_group(d, ["lang"], 3, key_cols=["doc_id"], seed=7)
+    return out.select("lang", "doc_id")
+
+
 def q_multimodal_bytes(spark, sf_dir):
     """Multimodal plumbing under the driver gate: documents re-encoded as
     opaque ``binary`` media payloads, pushed through the REAL Arrow-batched
@@ -1049,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
         "heavy_hitters_exact": q_heavy_hitters_exact,
         "heavy_hitters_violations": q_heavy_hitters_violations,
+        "stratified_sample": q_stratified_sample,
+        "sample_per_group": q_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / trained IVF cells have no cross-engine twin); each
@@ -1312,6 +1347,30 @@ def _oracle_sql_base() -> dict[str, str]:
         "heavy_hitters_violations": """
             SELECT CAST(NULL AS VARCHAR) AS tok
             WHERE 1 = 0
+        """,
+        # the EXACT same 60-bit-md5 uniform + CASE threshold predicate the
+        # Spark sampler compiles; both engines agree bit for bit, so the
+        # selected row set (not just its size) hash-matches
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(concat_ws('|', '7',
+                          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0
+                < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
+                            WHEN 'zh' THEN 0.75 ELSE 0.5 END
+        """,
+        "sample_per_group": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(('0x' || substr(md5(concat_ws('|', '7',
+                                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                                    / 1152921504606846976.0 ASC,
+                                    doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
         """,
         # full-probe IVF == exact brute force (every cell probed), so the
         # ann_bruteforce oracle applies verbatim

@@ -27,6 +27,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      sessions, bounded-state dedup, exactly-once incremental rollup.
 - ``dff.tdigest``    from-scratch mergeable t-digest quantile sketches.
 - ``dff.heavyhitters`` from-scratch mergeable Misra-Gries frequent items.
+- ``dff.sampling``   deterministic content-hash sampling: fraction,
+                     stratified, exactly-n-per-group (engine-portable).
 - ``dff.model``      distributed GBT scorer (train/CV/AUC) + DAG integration.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).

@@ -1,0 +1,106 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — repartition
+the input (or rescale the cluster) and the sample changes, which breaks
+reproducible dataset builds and cross-run joins.  These operators instead
+hash the ROW KEY: a row is kept iff a uniform deterministic hash of its
+key columns lands under the target fraction, so membership depends only
+on row content — stable under repartitioning, shuffles, engine version,
+and even across engines (the hash is ``md5``, available everywhere; the
+oracle gate replays the identical predicate in DuckDB).
+
+Scale shape:
+
+- :func:`hash_sample` / :func:`stratified_sample` are PURE map-side
+  predicates — no shuffle, no Python, whole-stage-codegen'd; at 100 TB
+  they cost one scan and prune output size at the source.
+- :func:`sample_n_per_group` needs exactly ONE shuffle (the group-key
+  window); rows are ranked by the same content hash, so the chosen n are
+  a uniform random subset per group, deterministic given the seed.
+
+The uniform hash is the first 60 bits of ``md5(seed | key columns)``
+divided by 2^60 — float error is one ulp around thresholds, and both
+engines parse the same 15 hex chars, so the predicate agrees bit for bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO60 = float(1 << 60)
+
+
+def uniform_hash(key_cols: Iterable[str], seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1) from the row's key columns.
+
+    ``concat_ws`` skips NULLs, so keys that differ only in NULL-vs-empty
+    placement can collide; include a NOT NULL natural key (ids) for strict
+    uniqueness.  DuckDB equivalent::
+
+        CAST(('0x' || substr(md5(concat_ws('|', <seed>, cols...)), 1, 15))
+             AS BIGINT) / 1152921504606846976.0
+    """
+    payload = F.concat_ws(
+        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+    )
+    return (
+        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+        / F.lit(_TWO60)
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash (map-only)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(uniform_hash(key_cols, seed) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum keep fractions (e.g. downsample the majority language,
+    keep all of the rare ones).  Still a pure map-side predicate: the
+    per-stratum threshold folds into a CASE WHEN chain, so no join and no
+    shuffle regardless of the number of strata."""
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    thr: Column = F.lit(float(default))
+    for s, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == s, float(frac)).otherwise(thr)
+    return df.where(uniform_hash(key_cols, seed) < thr)
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, uniformly at random and
+    deterministically: rank rows inside each group by the content hash
+    (key columns break hash ties) and keep the first n.  One shuffle."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        uniform_hash(key_cols, seed).asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1,0 +1,80 @@
+"""Hash sampling: partition-invariance, rate accuracy, strata, per-group n,
+and the map-only / one-shuffle plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dff.sampling import hash_sample, sample_n_per_group, stratified_sample
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("id").collect())
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.range(0, 20000).select(
+        "id", (F.col("id") % 7).cast("string").alias("g")
+    )
+
+
+def test_partition_invariant_and_rate(base):
+    a = _ids(hash_sample(base.repartition(3), ["id"], 0.3, seed=5))
+    b = _ids(hash_sample(base.repartition(17), ["id"], 0.3, seed=5))
+    assert a == b  # membership depends on content only
+    assert abs(len(a) / 20000 - 0.3) < 0.02
+    # a different seed picks a genuinely different subset
+    c = _ids(hash_sample(base, ["id"], 0.3, seed=6))
+    assert c != a and abs(len(c) / 20000 - 0.3) < 0.02
+
+
+def test_stratified_rates_and_default(base):
+    out = stratified_sample(
+        base, "g", {"0": 1.0, "1": 0.5, "2": 0.0}, key_cols=["id"], seed=1
+    )
+    got = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    per = 20000 / 7
+    assert got["0"] == pytest.approx(per, rel=0.01)
+    assert got["1"] == pytest.approx(per * 0.5, rel=0.1)
+    assert "2" not in got
+    assert set(got) == {"0", "1"}  # default=0 drops unlisted strata
+    # default applies to unlisted strata
+    out2 = stratified_sample(
+        base, "g", {"0": 1.0}, key_cols=["id"], default=0.25, seed=1
+    )
+    n3 = out2.where(F.col("g") == "3").count()
+    assert n3 == pytest.approx(per * 0.25, rel=0.15)
+
+
+def test_sample_n_per_group_exact_and_deterministic(base):
+    out = sample_n_per_group(base.repartition(5), ["g"], 10, key_cols=["id"], seed=3)
+    sizes = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes.values()) == {10}
+    again = sample_n_per_group(base.repartition(13), ["g"], 10, key_cols=["id"], seed=3)
+    assert _ids(out) == _ids(again)
+    # n larger than the group returns the whole group
+    tiny = base.where(F.col("id") < 3)
+    assert sample_n_per_group(tiny, ["g"], 10, key_cols=["id"]).count() == 3
+
+
+def test_validation(base):
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(base, ["id"], 1.5)
+    with pytest.raises(ValueError, match="stratum"):
+        stratified_sample(base, "g", {"0": -0.1}, key_cols=["id"])
+    with pytest.raises(ValueError, match="n must"):
+        sample_n_per_group(base, ["g"], 0, key_cols=["id"])
+
+
+def test_plan_shapes(base):
+    flat = hash_sample(base, ["id"], 0.5)
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # pure map-side predicate
+    strat = stratified_sample(base, "g", {"0": 0.5}, key_cols=["id"])
+    plan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    grp = sample_n_per_group(base, ["g"], 5, key_cols=["id"])
+    plan = grp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
