@@ -865,6 +865,35 @@ def q_ngram_jaccard_exact(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster formation: transitive closure of the exact
+    n-gram-Jaccard pair graph via distributed alternating-star connected
+    components (dff/cluster.py), every doc assigned the MINIMUM doc_id of
+    its cluster (isolated docs = singletons).  Similarity is not
+    transitive, so pair output alone under-deletes chained near-dups; this
+    is the closure step the dedup family feeds.  Oracle: DuckDB
+    WITH RECURSIVE min-label reachability over the identical pair graph."""
+    from dff.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    edges = q_ngram_jaccard_exact(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges, nodes=d, node_col="doc_id")
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus: one canonical survivor (min doc_id) per
+    duplicate cluster, non-duplicated docs untouched — the end-to-end
+    dedup deliverable (pairs -> clusters -> survivors) a training-data
+    pipeline actually materializes."""
+    from dff.cluster import canonical_survivors
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = q_ngram_jaccard_exact(spark, sf_dir).select("id_a", "id_b")
+    return canonical_survivors(d, pairs, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # The reference scores single records widget-interactively; our streaming
 # surface is the engine-native analog.  This query puts it under the SAME
 # driver gate as batch (VERDICT r02 §next-8): the events table replayed as
@@ -1085,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_per_group": q_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
+        "dup_clusters": q_dup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / trained IVF cells have no cross-engine twin); each
         # is covered by an oracle-checked invariant twin above
@@ -1092,6 +1123,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ivf_ann": q_ivf_ann,
     }
+
+
+# shared CTE text: the exact word-3-gram jaccard pair graph (the edge set
+# for ngram_jaccard_exact / dup_clusters / dedup_survivors — ONE
+# definition so the three oracles can never drift apart)
+_NGRAM_PAIR_CTES = """w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN ws IS NULL OR len(ws) < 3
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS grams
+              FROM w),
+            njpairs AS (
+              SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                            THEN round(len(list_intersect(a.grams, b.grams)) * 1.0
+                                       / len(list_distinct(a.grams || b.grams)), 4)
+                            ELSE 1.0 END AS jaccard
+                FROM g a JOIN g b ON a.doc_id < b.doc_id)
+              WHERE jaccard >= 0.2)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1408,27 +1465,40 @@ def _oracle_sql_base() -> dict[str, str]:
         # exact word-3-gram jaccard: normalize (lower, collapse whitespace,
         # trim), distinct 3-grams, |∩|/|∪|; docs with < 3 words get the
         # empty gram set and pair at jaccard 1.0 (mirrors dff.dedup)
-        "ngram_jaccard_exact": """
-            WITH w AS (
-              SELECT doc_id,
-                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
-              FROM documents),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN ws IS NULL OR len(ws) < 3
-                          THEN CAST([] AS VARCHAR[])
-                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-                     END AS grams
-              FROM w)
-            SELECT id_a, id_b, jaccard FROM (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
-                            THEN round(len(list_intersect(a.grams, b.grams)) * 1.0
-                                       / len(list_distinct(a.grams || b.grams)), 4)
-                            ELSE 1.0 END AS jaccard
-                FROM g a JOIN g b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.2
+        "ngram_jaccard_exact": f"""
+            WITH {_NGRAM_PAIR_CTES}
+            SELECT id_a, id_b, jaccard FROM njpairs
+        """,
+        # transitive closure of the same pair graph: min-label
+        # reachability (comp = min doc_id reachable) == connected
+        # components with min-id canonical labels; documents in no pair
+        # are singleton components via the non-recursive seed
+        "dup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM njpairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM njpairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node)
+            SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM njpairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM njpairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+            comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN comp c ON d.doc_id = c.node
+            WHERE c.node = c.component
         """,
         "stream_window_counts": """
             SELECT day, verdict_id, count(*) AS n FROM (

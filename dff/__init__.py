@@ -29,6 +29,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.heavyhitters`` from-scratch mergeable Misra-Gries frequent items.
 - ``dff.sampling``   deterministic content-hash sampling: fraction,
                      stratified, exactly-n-per-group (engine-portable).
+- ``dff.cluster``    duplicate-cluster closure: alternating-star connected
+                     components + canonical-survivor dedup.
 - ``dff.model``      distributed GBT scorer (train/CV/AUC) + DAG integration.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
