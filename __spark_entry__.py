@@ -204,6 +204,26 @@ def q_left_anti(spark, sf_dir):
     ).drop("constraint_id")
 
 
+def q_left_anti_big_dim(spark, sf_dir):
+    """The same referential check through the big-dim realization
+    (dff/referential.py::orphan_rows_big_dim): distinct KEY tuples shuffle
+    and anti-join the dim, then a null-safe semi join brings back the
+    fact rows — the fact's payload columns never enter an exchange.
+    Result-identical to ``left_anti`` by construction, so it shares that
+    oracle."""
+    from dff.referential import orphan_rows_big_dim
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)  # non-empty orphan set at sf0.01
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    p = _t(spark, sf_dir, "part")
+    return orphan_rows_big_dim(
+        p.select("p_partkey", "p_brand"), li, ["p_partkey"]
+    ).drop("constraint_id")
+
+
 def q_left_semi(spark, sf_dir):
     """Left-semi join: brands with at least one shipment."""
     li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
@@ -1074,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inner_join": q_inner_join,
         "broadcast_join": q_broadcast_join,
         "left_anti": q_left_anti,
+        "left_anti_big_dim": q_left_anti_big_dim,
         "left_semi": q_left_semi,
         "topk": q_topk,
         "window_topk_per_group": q_window_topk_per_group,
@@ -1222,6 +1243,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "left_anti": """
             SELECT p_partkey, p_brand FROM part
             WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "left_anti_big_dim": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey AND l_quantity > 45)
         """,
         "left_semi": """
             SELECT p_brand, count(*) AS n_parts FROM part

@@ -52,6 +52,46 @@ def valid_rows(
     return df.join(d, on, "left_semi")
 
 
+def orphan_rows_big_dim(
+    df: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    constraint_id: str = "referential",
+) -> DataFrame:
+    """Referential check for dimensions too large to broadcast (e.g. the
+    full (repo, commit) universe at crawl scale): result is EXACTLY
+    :func:`orphan_rows`, but the fact table itself never shuffles.
+
+    The naive non-broadcast left-anti sort-merge-joins the ENTIRE fact
+    table against the dim — at 10^12 fact rows that shuffle dominates the
+    job.  Here the exchanges carry keys, not rows:
+
+    1. ``distinct`` over the fact's key tuples — one exchange of DISTINCT
+       keys (many files share one (repo, commit): orders of magnitude
+       smaller than the fact);
+    2. left-anti of those keys against the dim — keys vs dim, fact rows
+       untouched;
+    3. left-semi of the fact against the resulting orphan-key set.
+       Violations are rare in steady state, so AQE broadcasts the orphan
+       keys and the fact side stays map-only end to end.
+
+    The final semi join is NULL-SAFE so rows with a NULL key component
+    (orphans by definition — NULL never matches a dim row, mirroring the
+    plain left-anti) are still reported.
+    """
+    fact_keys = df.select(*on).distinct()
+    orphan_keys = fact_keys.join(dim.select(*on), on, "left_anti")
+    ok = orphan_keys.alias("__ok")
+    cond = None
+    for c in on:
+        clause = df[c].eqNullSafe(ok[c])
+        cond = clause if cond is None else cond & clause
+    return (
+        df.join(ok, cond, "left_semi")
+        .withColumn("constraint_id", F.lit(constraint_id))
+    )
+
+
 def allowed_values_violations(
     df: DataFrame,
     col: str,

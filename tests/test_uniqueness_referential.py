@@ -129,3 +129,42 @@ def test_duplicate_hash_survivors_falls_back_when_dup_set_large(spark, monkeypat
     assert "broadcast" not in opt_fb.lower(), opt_fb
     opt_n = normal._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" in opt_n.lower(), opt_n
+
+
+def test_orphan_rows_big_dim_matches_plain_incl_null_keys(spark):
+    from dff.referential import orphan_rows_big_dim
+
+    df = synthetic_source_files(spark, 3000, n_repos=60).cache()
+    # inject NULL-key rows: NULL never matches a dim row, so both
+    # realizations must report them as orphans
+    nulled = df.limit(7).withColumn("commit", F.lit(None).cast("string"))
+    fact = df.union(nulled)
+    commits = commits_dim(spark, n_repos=60)
+    # duplicate dim keys must not duplicate fact rows (semi-join semantics)
+    dup_dim = commits.union(commits.limit(20))
+
+    plain = orphan_rows(fact, dup_dim, ["repo", "commit"])
+    big = orphan_rows_big_dim(fact, dup_dim, ["repo", "commit"])
+    key = [F.col("repo"), F.col("path"), F.col("commit")]
+    assert sorted(
+        (r["repo"], r["path"], r["commit"] or "") for r in plain.select(*key).collect()
+    ) == sorted(
+        (r["repo"], r["path"], r["commit"] or "") for r in big.select(*key).collect()
+    )
+    assert big.count() == plain.count() > 7
+    df.unpersist()
+
+
+def test_orphan_rows_big_dim_shuffles_keys_not_rows(spark):
+    """The only hash exchanges in the plan must carry key columns only —
+    the fact's payload (content/lang/...) never shuffles."""
+    from dff.referential import orphan_rows_big_dim
+
+    df = synthetic_source_files(spark, 2000, n_repos=50)
+    plan = (
+        orphan_rows_big_dim(df, commits_dim(spark, 50), ["repo", "commit"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "content" not in line and "lang" not in line, line
