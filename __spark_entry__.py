@@ -834,6 +834,36 @@ def q_sample_per_group(spark, sf_dir):
     return out.select("lang", "doc_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Probability-proportional-to-size Poisson sampling: keep a doc with
+    probability min(1, rate * n_chars) — the sample's character mass
+    mirrors the corpus.  Pure map-side predicate, no transcendentals, so
+    the SELECTED ROW SET is bit-replayable in DuckDB."""
+    from dff.sampling import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_hash_sample(
+        d, key_cols=["doc_id"], rate=0.0005, weight_col="n_chars", seed=11
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def q_weighted_sample_per_group(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, exactly 4 docs per lang:
+    Efraimidis-Spirakis exponential race keys E = -ln(u)/n_chars ranked in
+    a window — the DuckDB oracle mirrors the identical race (same md5
+    uniform, same 1e-18 floor, doc_id tie-break); output columns carry no
+    floats, so a cross-engine 1-ulp ln() divergence could only matter on a
+    ~2^-50 rank-boundary tie."""
+    from dff.sampling import weighted_sample_n_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample_n_per_group(
+        d, ["lang"], 4, key_cols=["doc_id"], weight_col="n_chars", seed=11
+    )
+    return out.select("lang", "doc_id")
+
+
 def q_multimodal_bytes(spark, sf_dir):
     """Multimodal plumbing under the driver gate: documents re-encoded as
     opaque ``binary`` media payloads, pushed through the REAL Arrow-batched
@@ -1134,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_violations": q_heavy_hitters_violations,
         "stratified_sample": q_stratified_sample,
         "sample_per_group": q_sample_per_group,
+        "weighted_sample": q_weighted_sample,
+        "weighted_sample_per_group": q_weighted_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "dup_clusters": q_dup_clusters,
         "dedup_survivors": q_dedup_survivors,
@@ -1454,6 +1486,34 @@ def _oracle_sql_base() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        # PPS Poisson: min(1, rate*weight) threshold on the same 60-bit
+        # uniform — pure arithmetic, bit-identical across engines
+        "weighted_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+              AND CAST(('0x' || substr(md5(concat_ws('|', '11',
+                          CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0
+                < least(1.0, 0.0005 * n_chars)
+        """,
+        # Efraimidis-Spirakis race replay: -ln(max(u,1e-18))/weight, rank
+        # per lang, doc_id tie-break
+        "weighted_sample_per_group": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY -ln(greatest(
+                                        CAST(('0x' || substr(md5(concat_ws('|', '11',
+                                            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                                        / 1152921504606846976.0, 1e-18))
+                                    / n_chars ASC,
+                                    doc_id ASC
+                       ) AS rn
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) WHERE rn <= 4
         """,
         # full-probe IVF == exact brute force (every cell probed), so the
         # ann_bruteforce oracle applies verbatim

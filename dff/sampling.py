@@ -82,6 +82,69 @@ def stratified_sample(
     return df.where(uniform_hash(key_cols, seed) < thr)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    rate: float,
+    weight_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling: keep a row with
+    probability ``min(1, rate * weight)`` — e.g. sample documents
+    proportional to token count so the SAMPLE's token mass mirrors the
+    corpus.  Same properties as :func:`hash_sample`: pure map-side
+    predicate, membership a function of row content only.  Rows with NULL
+    or non-positive weight are excluded (they have no defined inclusion
+    probability)."""
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    u = uniform_hash(key_cols, seed)
+    w = F.col(weight_col)
+    return df.where(
+        w.isNotNull()
+        & (w > 0)
+        & (u < F.least(F.lit(1.0), F.lit(float(rate)) * w))
+    )
+
+
+def weighted_sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    key_cols: list[str],
+    weight_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``min(n, group
+    size)`` rows per group: the Efraimidis–Spirakis exponential race
+    (key ``E = -ln(u) / w``, keep the n smallest — equivalent to their
+    ``u^(1/w)`` max-key form but numerically stable for tiny weights).
+    Deterministic given the seed, one window shuffle like
+    :func:`sample_n_per_group`.  NULL / non-positive weights are excluded.
+
+    ``u`` is floored at 1e-18 before the log in BOTH engines (Spark and
+    the DuckDB oracle) so a pathological zero hash cannot produce
+    ``ln(0)``; ordering ties across engines are broken by the key columns,
+    and a flip would need two race keys within 1 ulp — probability ~2^-50
+    per group boundary."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = F.greatest(uniform_hash(key_cols, seed), F.lit(1e-18))
+    race = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        race.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    wc = F.col(weight_col)
+    return (
+        df.where(wc.isNotNull() & (wc > 0))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     group_cols: list[str],

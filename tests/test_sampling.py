@@ -6,7 +6,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from dff.sampling import hash_sample, sample_n_per_group, stratified_sample
+from dff.sampling import (
+    hash_sample,
+    sample_n_per_group,
+    stratified_sample,
+    weighted_hash_sample,
+    weighted_sample_n_per_group,
+)
 
 
 def _ids(df):
@@ -78,3 +84,46 @@ def test_plan_shapes(base):
     grp = sample_n_per_group(base, ["g"], 5, key_cols=["id"])
     plan = grp._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_weighted_hash_sample_rate_proportional_and_deterministic(spark):
+    n = 40000
+    df = spark.range(n).select(
+        F.col("id"),
+        # two weight classes: heavy rows 4x the light rows' inclusion prob
+        F.when(F.col("id") % 4 == 0, 0.8).otherwise(0.2).alias("wt"),
+    )
+    s = weighted_hash_sample(df, ["id"], rate=0.5, weight_col="wt", seed=3)
+    heavy = s.where(F.col("id") % 4 == 0).count()
+    light = s.where(F.col("id") % 4 != 0).count()
+    # E[heavy] = 10000*0.4 = 4000, E[light] = 30000*0.1 = 3000
+    assert 3500 < heavy < 4500, heavy
+    assert 2600 < light < 3400, light
+    # partition-invariant determinism
+    s2 = weighted_hash_sample(df.repartition(7), ["id"], 0.5, "wt", seed=3)
+    assert sorted(r["id"] for r in s.collect()) == sorted(
+        r["id"] for r in s2.collect()
+    )
+    # null / non-positive weights excluded, validation raises
+    bad = df.withColumn("wt", F.when(F.col("id") < 100, None).otherwise(-1.0))
+    assert weighted_hash_sample(bad, ["id"], 0.5, "wt").count() == 0
+    with pytest.raises(ValueError, match="rate"):
+        weighted_hash_sample(df, ["id"], -0.1, "wt")
+
+
+def test_weighted_sample_n_per_group_favors_heavy_rows(spark):
+    rows = [(g, i, 100.0 if i < 5 else 0.01) for g in ("a", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, wt double")
+    s = weighted_sample_n_per_group(df, ["grp"], 5, ["grp", "id"], "wt", seed=1)
+    per = {r["grp"]: r["n"] for r in s.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 5, "b": 5}
+    # the 5 heavy rows (weight 10000x) dominate the selection
+    heavy_picked = s.where(F.col("id") < 5).count()
+    assert heavy_picked >= 8, heavy_picked
+    # deterministic under repartition
+    s2 = weighted_sample_n_per_group(df.repartition(5), ["grp"], 5, ["grp", "id"], "wt", seed=1)
+    assert sorted((r["grp"], r["id"]) for r in s.collect()) == sorted(
+        (r["grp"], r["id"]) for r in s2.collect()
+    )
+    with pytest.raises(ValueError, match="n must"):
+        weighted_sample_n_per_group(df, ["grp"], 0, ["id"], "wt")
