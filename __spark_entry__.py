@@ -834,6 +834,43 @@ def q_sample_per_group(spark, sf_dir):
     return out.select("lang", "doc_id")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level snapshot diff (dff/diff.py): the 'previous snapshot' is
+    derived deterministically from documents (every 17th doc missing ->
+    added; every 13th text perturbed -> changed; 1M-offset clones of every
+    29th doc -> removed), then classified via the payload-free
+    signature join.  The oracle classifies the same synthetic old/new pair
+    with direct IS DISTINCT FROM column comparison — so a signature
+    false-negative (hash collision) would surface as a gate mismatch."""
+    from dff.diff import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = d.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" CHANGED"))
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    extra = d.where(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    old = base.union(extra)
+    return snapshot_diff(d, old, keys=["doc_id"], compare_cols=["text", "lang"])
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style intra-document repetition ratio (fraction of word
+    3-gram occurrences that repeat an earlier one) — a standard
+    pre-training quality filter; pure Catalyst, map-only."""
+    from dff.textops import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(repetition_ratio("text", 3), 4).alias("rep_ratio")
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Probability-proportional-to-size Poisson sampling: keep a doc with
     probability min(1, rate * n_chars) — the sample's character mass
@@ -1165,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
+        "snapshot_diff": q_snapshot_diff,
+        "repetition_scores": q_repetition_scores,
         "weighted_sample_per_group": q_weighted_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "dup_clusters": q_dup_clusters,
@@ -1486,6 +1525,45 @@ def _oracle_sql_base() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        # same deterministic old-snapshot construction, but classification
+        # by direct column comparison instead of signatures
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN text || ' CHANGED'
+                          ELSE text END AS text,
+                     lang
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text, lang
+              FROM documents WHERE doc_id % 29 = 0),
+            nw AS (SELECT doc_id, text, lang FROM documents)
+            SELECT doc_id, change FROM (
+              SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN (n.text IS DISTINCT FROM o.text)
+                            OR (n.lang IS DISTINCT FROM o.lang) THEN 'changed'
+                     END AS change
+              FROM nw n FULL OUTER JOIN old o ON n.doc_id = o.doc_id)
+            WHERE change IS NOT NULL
+        """,
+        # 1 - distinct/total word 3-grams over the same normalization as
+        # ngram_jaccard_exact
+        "repetition_scores": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN ws IS NULL OR len(ws) < 3 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(
+                                 list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                               * 1.0 / (len(ws) - 2), 4)
+                   END AS rep_ratio
+            FROM w
         """,
         # PPS Poisson: min(1, rate*weight) threshold on the same 60-bit
         # uniform — pure arithmetic, bit-identical across engines

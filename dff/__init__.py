@@ -31,6 +31,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      stratified, exactly-n-per-group (engine-portable).
 - ``dff.cluster``    duplicate-cluster closure: alternating-star connected
                      components + canonical-survivor dedup.
+- ``dff.diff``       snapshot diff: added/removed/changed via payload-free
+                     signature join.
 - ``dff.model``      distributed GBT scorer (train/CV/AUC) + DAG integration.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).

@@ -1,0 +1,85 @@
+"""Snapshot diff: row-level added / removed / changed between table versions.
+
+Incremental validation needs to know WHAT moved between two snapshots of
+the source table — validate only the delta, alert on unexpected churn,
+and feed the drift baseline update.  The reference re-reads its whole
+table every run (one small pandas frame); at 10^12 rows the diff itself
+must not shuffle payloads.
+
+Scale shape: each side is first compressed map-side to
+``(keys..., __sig)`` where ``__sig`` is a 64-bit ``xxhash64`` of the
+compare columns — the full-outer join then shuffles key tuples plus 8
+bytes instead of document payloads.  Classification:
+
+- ``added``   — key only in the new snapshot;
+- ``removed`` — key only in the old snapshot;
+- ``changed`` — key in both, signatures differ.
+
+Unchanged rows are dropped before the join output leaves the stage, so
+the result is proportional to the churn, not the table.  A signature
+collision (2^-64 per changed row) can only misreport ``changed`` as
+unchanged; the oracle gate compares against DuckDB's direct
+column-by-column ``IS DISTINCT FROM`` classification, so a collision
+would surface as a gate mismatch.
+
+Keys are joined NULL-SAFELY: a NULL key component pairs with itself
+across snapshots instead of reporting one phantom add plus one phantom
+remove.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    new: DataFrame,
+    old: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """``(keys..., change)`` for every key whose row was added, removed,
+    or changed between ``old`` and ``new``; unchanged keys are absent.
+    Each side must be unique on ``keys`` (use ``dff.uniqueness`` first —
+    duplicate keys make "the row for this key" ill-defined)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if not compare_cols:
+        raise ValueError("compare_cols must be non-empty")
+
+    def compress(df: DataFrame, side: str) -> DataFrame:
+        # interleave each compare column with its null flag: xxhash64
+        # SKIPS null inputs, so without the flags (x, NULL) and (NULL, x)
+        # would collide into one signature
+        sig_inputs = []
+        for c in compare_cols:
+            sig_inputs += [F.col(c), F.isnull(F.col(c))]
+        return df.select(
+            *[F.col(k).alias(f"{side}_{k}") for k in keys],
+            F.xxhash64(*sig_inputs).alias(f"{side}_sig"),
+        )
+
+    n = compress(new, "n")
+    o = compress(old, "o")
+    cond = None
+    for k in keys:
+        clause = n[f"n_{k}"].eqNullSafe(o[f"o_{k}"])
+        cond = clause if cond is None else cond & clause
+    j = n.join(o, cond, "full_outer")
+    # n-side key presence: at least one key col non-null OR the sig col
+    # non-null (all-NULL key tuples still carry a sig)
+    n_present = F.col("n_sig").isNotNull()
+    o_present = F.col("o_sig").isNotNull()
+    change = (
+        F.when(~o_present, F.lit("added"))
+        .when(~n_present, F.lit("removed"))
+        .when(F.col("n_sig") != F.col("o_sig"), F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(*out_keys, change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )

@@ -133,3 +133,26 @@ def min_shingle_fingerprint(col: str | Column, k: int = 9) -> Column:
     """Winnowing-style content fingerprint: min shingle hash (= a 1-function
     MinHash; robust to small appends unlike the whole-doc hash)."""
     return F.array_min(shingle_hashes(col, k))
+
+
+def repetition_ratio(col: str | Column, n: int = 3) -> Column:
+    """Gopher-style intra-document repetition: the fraction of word
+    n-gram OCCURRENCES that are repeats of an earlier n-gram in the same
+    document, ``1 - distinct_ngrams / total_ngrams`` (0 = no repetition,
+    -> 1 = the document loops).  Boilerplate, scraped menus, and
+    generation loops score high; a standard pre-training quality filter
+    (Rae et al., Gopher appendix A1.1 — public paper).  Pure Catalyst:
+    one ``split`` + ``transform`` per row, no shuffle, no Python.
+
+    Documents with fewer than ``n`` words — including NULL text — have no
+    n-grams and score 0.0 (nullness is a separate constraint's job).
+    """
+    from dff.dedup import word_ngrams
+
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_text(c), " ")
+    total = F.size(words) - F.lit(n - 1)
+    distinct = F.size(word_ngrams(c, n))
+    return F.when(c.isNull() | (total <= 0), F.lit(0.0)).otherwise(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    )

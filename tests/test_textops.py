@@ -74,3 +74,25 @@ def test_quality_and_fingerprints(spark):
     assert fp2 == rows[0]["fp"]
     assert rows[0]["n_shingles"] == len("the quick brown fox and the lazy dog, it is for the win") - 8
     assert rows[4]["n_shingles"] == 0 and rows[4]["msf"] is None
+
+
+def test_repetition_ratio_hand_computed(spark):
+    from dff.textops import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 grams, 3 distinct -> 4/7
+            (2, "one two"),            # < 3 words -> 0.0
+            (3, "x x x x"),            # 2 grams, 1 distinct -> 0.5
+            (4, "all words are unique here now"),  # 4 grams distinct -> 0.0
+            (5, None),                 # NULL text -> 0.0
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["rr"]
+        for r in df.select(
+            "doc_id", F.round(repetition_ratio("text", 3), 4).alias("rr")
+        ).collect()
+    }
+    assert got == {1: round(1 - 3 / 7, 4), 2: 0.0, 3: 0.5, 4: 0.0, 5: 0.0}
