@@ -47,7 +47,12 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each node, link every LARGER neighbor to the minimum of the
-    closed neighborhood.  Input and output oriented u > v."""
+    closed neighborhood.  Input and output oriented u > v.
+
+    No ``distinct`` here: each input edge contributes exactly ONE output
+    row (from its smaller endpoint's group), so the edge count cannot
+    grow, and duplicate pairs don't perturb the ``min`` aggregations —
+    the one dedup shuffle per round lives in :func:`_small_star`."""
     bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     return (
@@ -56,7 +61,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         # new edge (old v) -> m where m <= u < old v: stays u > v oriented
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -71,13 +75,12 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(e: DataFrame) -> tuple:
-    row = e.agg(
+def _checksum_exprs():
+    return [
         F.count(F.lit(1)).alias("n"),
         # decimal sum: no silent 64-bit wrap on huge edge sets
         F.sum(F.xxhash64("u", "v").cast("decimal(27,0)")).alias("s"),
-    ).first()
-    return (row["n"], row["s"])
+    ]
 
 
 def connected_components(
@@ -100,12 +103,24 @@ def connected_components(
     converge (the algorithm needs O(log^2 n); 50 covers any real graph —
     non-convergence means the input edge table is changing under us).
     """
-    e = _canonical_edges(edges, src, dst).localCheckpoint()
-    prev = _checksum(e)
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    e = _canonical_edges(edges, src, dst).observe(
+        obs0, *_checksum_exprs()
+    ).localCheckpoint()
+    prev = (obs0.get["n"], obs0.get["s"])
     if prev[0] > 0:
         for _ in range(max_iter):
-            e = _small_star(_large_star(e)).localCheckpoint()
-            cur = _checksum(e)
+            # the convergence checksum piggybacks on the checkpoint
+            # materialization via observe() — no extra job per round
+            obs = Observation()
+            e = (
+                _small_star(_large_star(e))
+                .observe(obs, *_checksum_exprs())
+                .localCheckpoint()
+            )
+            cur = (obs.get["n"], obs.get["s"])
             if cur == prev:
                 break
             prev = cur

@@ -30,10 +30,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CHAIN_LEN = 100_000
-
-
-def edge_table(spark, n_nodes: int, parallelism: int):
+def edge_table(spark, n_nodes: int, chain_len: int, parallelism: int):
     from pyspark.sql import functions as F
 
     base = spark.range(0, n_nodes, 1, max(16, parallelism * 4))
@@ -47,7 +44,7 @@ def edge_table(spark, n_nodes: int, parallelism: int):
     ).where(F.col("id_b") < n_nodes)
     # one long path appended after the cluster field
     chain = spark.range(
-        n_nodes, n_nodes + CHAIN_LEN - 1, 1, max(4, parallelism)
+        n_nodes, n_nodes + chain_len - 1, 1, max(4, parallelism)
     ).select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     return intra.union(chord).union(chain)
 
@@ -57,6 +54,11 @@ def main() -> None:
     ap.add_argument("--nodes", type=int, default=4_000_000)
     ap.add_argument("--parallelism", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--chain", type=int, default=100_000,
+        help="length of the adversarial path (rounds ~ log2(chain)); "
+             "use ~1000 for a realistic near-dup graph diameter",
+    )
     args = ap.parse_args()
 
     from jobs.bench_dedup import build_session, measure
@@ -67,9 +69,11 @@ def main() -> None:
 
     from dff.cluster import connected_components
 
-    data = os.path.join(REPO, ".bench_data", f"cc_edges_{args.nodes}.parquet")
+    data = os.path.join(
+        REPO, ".bench_data", f"cc_edges_{args.nodes}_{args.chain}.parquet"
+    )
     if not os.path.exists(os.path.join(data, "_SUCCESS")):
-        edge_table(spark, args.nodes, args.parallelism).write.mode(
+        edge_table(spark, args.nodes, args.chain, args.parallelism).write.mode(
             "overwrite"
         ).parquet(data)
     edges = spark.read.parquet(data)
@@ -90,7 +94,7 @@ def main() -> None:
         "metric": "connected-components engine-scale bench",
         "nodes": args.nodes,
         "edges": n_edges,
-        "chain_len": CHAIN_LEN,
+        "chain_len": args.chain,
         "parallelism": args.parallelism,
         "cc_sec": sec,
         "cc_edges_per_sec": round(n_edges / sec),

@@ -80,3 +80,33 @@ def test_failed_replace_keeps_existing_table(spark, small):
     finally:
         drop_table(spark, "t_staged")
         drop_table(spark, "t_staged__stg")
+
+
+def test_bucketed_cobucketed_join_has_no_exchange(spark, small):
+    """Two tables bucketed the same way on the join key join WITHOUT any
+    Exchange — the co-located join that makes repeated fact-dim joins at
+    100 TB shuffle-free (each side reads its buckets pre-partitioned)."""
+    save_managed(small, "t_join_a", bucket_cols=["repo"], n_buckets=8)
+    save_managed(
+        small.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files")),
+        "t_join_b",
+        bucket_cols=["repo"],
+        n_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: the point is the co-located
+        # shuffle-free SMJ/SHJ, not a small-table broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_join_a")
+        b = spark.table("t_join_b")
+        j = a.join(b, "repo").where(F.col("n_files") > 0)
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_table(spark, "t_join_a")
+        drop_table(spark, "t_join_b")
