@@ -871,6 +871,32 @@ def q_repetition_scores(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (dff/contamination.py): every 37th doc
+    plays the held-out benchmark; corpus docs sharing any word 3-gram
+    with it are flagged with their distinct shared-gram count.  The
+    benchmark gram-hash set broadcasts; the corpus explodes map-side and
+    semi-joins BEFORE any shuffle, so the one exchange carries only
+    contaminated (doc, gram) pairs."""
+    from dff.contamination import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    corpus = d.where(F.col("doc_id") % 37 != 0)
+    return contaminated_docs(corpus, bench, "doc_id", "text", n=3)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (dff/textops.py::chunk_documents): 12-word
+    windows with 3-word overlap, trailing pure-suffix windows dropped;
+    pure Catalyst explode, map-only.  Every chunk row (id, text, width)
+    hash-checks against a DuckDB replay of the identical slicing."""
+    from dff.textops import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", size=12, overlap=3)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Probability-proportional-to-size Poisson sampling: keep a doc with
     probability min(1, rate * n_chars) — the sample's character mass
@@ -1204,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
         "repetition_scores": q_repetition_scores,
+        "contamination": q_contamination,
+        "chunk_documents": q_chunk_documents,
         "weighted_sample_per_group": q_weighted_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "dup_clusters": q_dup_clusters,
@@ -1548,6 +1576,47 @@ def _oracle_sql_base() -> dict[str, str]:
                      END AS change
               FROM nw n FULL OUTER JOIN old o ON n.doc_id = o.doc_id)
             WHERE change IS NOT NULL
+        """,
+        # distinct shared word-3-grams per corpus doc vs the %37 benchmark
+        # subset, same normalization as ngram_jaccard_exact
+        "contamination": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN ws IS NULL OR len(ws) < 3
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     END AS grams
+              FROM w),
+            bg AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 37 = 0),
+            cg AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 37 <> 0)
+            SELECT doc_id, count(*) AS n_shared
+            FROM cg JOIN bg USING (gr)
+            GROUP BY doc_id
+        """,
+        # 12-word windows, 3-word overlap, start step 9; trailing window
+        # emitted iff start == 0 or start + 3 < n_words
+        "chunk_documents": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents),
+            d2 AS (
+              SELECT doc_id, ws,
+                     greatest(0, CAST(floor((len(ws) - 4) / 9.0) AS INT)) AS max_k
+              FROM w
+              WHERE text IS NOT NULL AND trim(text) <> '' AND len(ws) > 0),
+            ks AS (
+              SELECT doc_id, ws, unnest(range(0, max_k + 1)) AS k FROM d2)
+            SELECT doc_id,
+                   CAST(k AS INT) AS chunk_id,
+                   array_to_string(ws[k*9 + 1 : k*9 + 12], ' ') AS chunk_text,
+                   CAST(len(ws[k*9 + 1 : k*9 + 12]) AS INT) AS n_words
+            FROM ks
         """,
         # 1 - distinct/total word 3-grams over the same normalization as
         # ngram_jaccard_exact

@@ -33,6 +33,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      components + canonical-survivor dedup.
 - ``dff.diff``       snapshot diff: added/removed/changed via payload-free
                      signature join.
+- ``dff.contamination`` benchmark decontamination: broadcast n-gram
+                     overlap vs a held-out eval set.
 - ``dff.model``      distributed GBT scorer (train/CV/AUC) + DAG integration.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).

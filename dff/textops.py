@@ -156,3 +156,51 @@ def repetition_ratio(col: str | Column, n: int = 3) -> Column:
     return F.when(c.isNull() | (total <= 0), F.lit(0.0)).otherwise(
         F.lit(1.0) - distinct.cast("double") / total.cast("double")
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    size: int = 200,
+    overlap: int = 20,
+):
+    """Split documents into overlapping word windows for context-window
+    training: chunk k covers words ``[k*(size-overlap), ... + size)``.
+    A trailing window whose words are ALL contained in the previous
+    chunk's tail is dropped (emitted iff ``start == 0`` or
+    ``start + overlap < n_words``), so no chunk is a pure suffix repeat.
+
+    Pure Catalyst: ``split`` -> ``sequence`` of starts -> ``transform``
+    (slice + re-join) -> ``posexplode``; map-only, no shuffle, no Python —
+    at 100 TB the chunker rides the same single scan as the rest of the
+    pipeline.  Returns ``(id_col, chunk_id, chunk_text, n_words)``.
+    """
+    from pyspark.sql import functions as F
+
+    if size < 2 or overlap < 0 or overlap >= size:
+        raise ValueError(
+            f"need size >= 2 and 0 <= overlap < size, got {size}/{overlap}"
+        )
+    step = size - overlap
+    words = F.split(normalize_text(text_col), " ")
+    nw = F.size(words)
+    # starts: 0, step, 2*step, ... while start < n_words AND
+    # (start == 0 OR start + overlap < n_words)
+    max_k = F.greatest(
+        F.lit(0),
+        F.floor((nw - F.lit(overlap) - F.lit(1)) / F.lit(step)).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), max_k),
+        lambda k: F.concat_ws(" ", F.slice(words, k * step + 1, size)),
+    )
+    out = df.where(
+        F.col(text_col).isNotNull() & (nw > 0) & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_words", F.size(F.split(F.col("chunk_text"), " "))
+    )

@@ -212,3 +212,28 @@ def test_minhash_slim_and_payload_band_shapes_identical(spark):
     rf = sorted((r["id_a"], r["id_b"], round(r["est_jaccard"], 9)) for r in fat.collect())
     assert rs == rf
     assert len(rs) >= 150  # the planted ~1/10 near-dups are found
+
+
+def test_contaminated_docs_flags_planted_overlap_only(spark):
+    from dff.contamination import contaminated_docs
+
+    secret = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words here {secret} trailing tail words"),
+            (2, "completely unrelated text with many distinct words inside"),
+            (3, f"{secret} immediately at the start of this document"),
+            (4, "short doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question mentions {secret} and an answer")],
+        "bid bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in contaminated_docs(corpus, bench, "doc_id", "text", n=8).collect()
+    }
+    assert set(got) == {1, 3}
+    assert all(v >= 1 for v in got.values())

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dff.textops import (
@@ -96,3 +97,50 @@ def test_repetition_ratio_hand_computed(spark):
         ).collect()
     }
     assert got == {1: round(1 - 3 / 7, 4), 2: 0.0, 3: 0.5, 4: 0.0, 5: 0.0}
+
+
+def test_chunk_documents_hand_computed(spark):
+    from dff.textops import chunk_documents
+
+    words10 = " ".join(f"w{i}" for i in range(1, 11))
+    df = spark.createDataFrame(
+        [(1, words10), (2, "a b c"), (3, None), (4, "   ")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_words"])
+        for r in chunk_documents(df, "doc_id", "text", size=5, overlap=2).collect()
+    }
+    # doc 1: starts 0,3,6; start 9 dropped (suffix fully inside prev tail)
+    assert got == {
+        (1, 0): ("w1 w2 w3 w4 w5", 5),
+        (1, 1): ("w4 w5 w6 w7 w8", 5),
+        (1, 2): ("w7 w8 w9 w10", 4),
+        (2, 0): ("a b c", 3),
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", size=5, overlap=5)
+
+
+def test_chunk_documents_covers_every_word(spark):
+    from dff.textops import chunk_documents
+    from dff.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, 300)
+    chunks = chunk_documents(docs, "doc_id", "text", size=12, overlap=3)
+    # every word occurrence is covered: sum over chunks of (n_words -
+    # overlap-with-previous) == doc word count
+    totals = (
+        chunks.groupBy("doc_id")
+        .agg(
+            (F.sum("n_words") - 3 * (F.count(F.lit(1)) - 1)).alias("covered")
+        )
+    )
+    words = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("nw"),
+    )
+    mismatches = (
+        totals.join(words, "doc_id").where(F.col("covered") != F.col("nw")).count()
+    )
+    assert mismatches == 0
