@@ -897,6 +897,37 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, "doc_id", "text", size=12, overlap=3)
 
 
+def q_training_corpus_pipeline(spark, sf_dir):
+    """CAPSTONE: the full training-corpus build as ONE composed plan —
+    length filter -> exact-dedup survivors (min-id per identical text) ->
+    benchmark decontamination (3-gram vs the %37 held-out set) ->
+    12/3 context-window chunking -> deterministic 50% content-hash
+    sample.  Every stage is a dff primitive; the WHOLE chain stays one
+    Catalyst plan whose exchanges carry only 8-byte gram hashes, doc ids,
+    and the pre-shuffle-pruned dedup window (WindowGroupLimit ships one
+    candidate row per (partition, text-hash)); chunk text never enters an
+    exchange.  Plan note: the dedup-survivor subtree is evaluated on both
+    sides of the decontamination anti-join — a long-lived pipeline
+    persists `surv` to collapse the double scan (ValidationResult does
+    exactly that for the rule pass).  Final chunk rows hash-check against
+    a DuckDB replay of the entire five-stage pipeline."""
+    from dff.contamination import contaminated_docs
+    from dff.dedup import dedup_exact
+    from dff.sampling import hash_sample
+    from dff.textops import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0)
+    corpus = d.where((F.col("doc_id") % 37 != 0) & (F.col("n_chars") >= 50))
+    surv = dedup_exact(corpus, "text", "doc_id")
+    bad = contaminated_docs(surv, bench, "doc_id", "text", n=3).select("doc_id")
+    clean = surv.join(bad, "doc_id", "left_anti")
+    chunks = chunk_documents(clean, "doc_id", "text", size=12, overlap=3)
+    return hash_sample(chunks, ["doc_id", "chunk_id"], 0.5, seed=21).select(
+        "doc_id", "chunk_id", "chunk_text", "n_words"
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Probability-proportional-to-size Poisson sampling: keep a doc with
     probability min(1, rate * n_chars) — the sample's character mass
@@ -1232,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "contamination": q_contamination,
         "chunk_documents": q_chunk_documents,
+        "training_corpus_pipeline": q_training_corpus_pipeline,
         "weighted_sample_per_group": q_weighted_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "dup_clusters": q_dup_clusters,
@@ -1597,6 +1629,57 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_shared
             FROM cg JOIN bg USING (gr)
             GROUP BY doc_id
+        """,
+        # the full five-stage corpus build replayed: filter -> dedup
+        # survivors -> 3-gram decontamination -> 12/3 chunking -> 50%
+        # content-hash sample
+        "training_corpus_pipeline": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 37 <> 0 AND n_chars >= 50),
+            surv AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY text) AS mid
+                FROM corpus)
+              WHERE doc_id = mid),
+            bw AS (
+              SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents WHERE doc_id % 37 = 0),
+            bg AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN ws IS NULL OR len(ws) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END) AS gr
+              FROM bw),
+            sw AS (
+              SELECT doc_id, text,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM surv),
+            sg AS (
+              SELECT doc_id, unnest(
+                CASE WHEN ws IS NULL OR len(ws) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END) AS gr
+              FROM sw),
+            bad AS (SELECT DISTINCT sg.doc_id FROM sg JOIN bg USING (gr)),
+            clean AS (
+              SELECT doc_id, text, ws FROM sw
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+            d2 AS (
+              SELECT doc_id, ws,
+                     greatest(0, CAST(floor((len(ws) - 4) / 9.0) AS INT)) AS max_k
+              FROM clean
+              WHERE text IS NOT NULL AND trim(text) <> '' AND len(ws) > 0),
+            ks AS (SELECT doc_id, ws, unnest(range(0, max_k + 1)) AS k FROM d2)
+            SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                   array_to_string(ws[k*9 + 1 : k*9 + 12], ' ') AS chunk_text,
+                   CAST(len(ws[k*9 + 1 : k*9 + 12]) AS INT) AS n_words
+            FROM ks
+            WHERE CAST(('0x' || substr(md5(concat_ws('|', '21',
+                        CAST(doc_id AS VARCHAR),
+                        CAST(CAST(k AS INT) AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 < 0.5
         """,
         # 12-word windows, 3-word overlap, start step 9; trailing window
         # emitted iff start == 0 or start + 3 < n_words
