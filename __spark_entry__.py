@@ -928,6 +928,30 @@ def q_training_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing (dff/textops.py::redact_pii): deterministic
+    synthetic emails/IPs appended to each doc, then redacted with typed
+    placeholders and counted.  Patterns are restricted to Java-regex ∩
+    RE2 syntax, so the oracle replays the IDENTICAL pattern chain in
+    DuckDB and the full redacted strings hash-match."""
+    from dff.textops import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    x = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return d.select(
+        "doc_id",
+        redact_pii(x).alias("redacted"),
+        pii_count(x).alias("n_pii"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Probability-proportional-to-size Poisson sampling: keep a doc with
     probability min(1, rate * n_chars) — the sample's character mass
@@ -1264,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "chunk_documents": q_chunk_documents,
         "training_corpus_pipeline": q_training_corpus_pipeline,
+        "pii_redaction": q_pii_redaction,
         "weighted_sample_per_group": q_weighted_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "dup_clusters": q_dup_clusters,
@@ -1309,6 +1334,28 @@ def oracle_sql() -> dict[str, str]:
     # construction, so it is hash-checked against the SAME oracle
     d["asof_join_skewed"] = d["asof_join"]
     return d
+
+
+def _pii_oracle_sql() -> str:
+    """Built from the SAME dff.textops.PII_PATTERNS chain the Spark query
+    uses — one source of truth, no drift.  Backslashes pass through SQL
+    single-quoted literals untouched; DuckDB regexp_replace needs the
+    explicit 'g' flag to match Spark's replace-all."""
+    from dff.textops import PII_PATTERNS
+
+    x = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+         " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+         " || '.7'")
+    red = x
+    counts = []
+    for pat, repl in PII_PATTERNS.values():
+        lit = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{lit}', '{repl}', 'g')"
+        counts.append(f"len(regexp_extract_all({x}, '{lit}'))")
+    return (
+        f"SELECT doc_id, {red} AS redacted, "
+        f"CAST({' + '.join(counts)} AS INT) AS n_pii FROM documents"
+    )
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -1609,6 +1656,7 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM nw n FULL OUTER JOIN old o ON n.doc_id = o.doc_id)
             WHERE change IS NOT NULL
         """,
+        "pii_redaction": _pii_oracle_sql(),
         # distinct shared word-3-grams per corpus doc vs the %37 benchmark
         # subset, same normalization as ngram_jaccard_exact
         "contamination": """

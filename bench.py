@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_bruteforce",
     "minhash_near_dups",
     "salted_stats",
+    "training_corpus_pipeline",
 ]
 
 VALIDATION_ROWS = int(os.environ.get("SPARK_GRAFT_VALIDATION_ROWS", "500000"))
@@ -261,6 +262,25 @@ def main() -> None:
     bench_callable(
         "ann_bruteforce_100k", lambda: _bft(emb_df, q20, k=10)
     )
+
+    # the corpus build at engine scale: 200k docs through exact dedup ->
+    # 3-gram decontamination (every 997th doc plays the benchmark) ->
+    # 12/3 chunking -> 50% content-hash sample, one composed plan
+    def _corpus_200k():
+        from dff.contamination import contaminated_docs as _cd
+        from dff.dedup import dedup_exact as _de
+        from dff.sampling import hash_sample as _hs
+        from dff.textops import chunk_documents as _ch
+
+        bench_docs = docs_df.where(F.pmod(F.col("doc_id"), F.lit(997)) == 0)
+        corpus = docs_df.where(F.pmod(F.col("doc_id"), F.lit(997)) != 0)
+        surv = _de(corpus, "text", "doc_id")
+        bad = _cd(surv, bench_docs, "doc_id", "text", n=3).select("doc_id")
+        clean = surv.join(bad, "doc_id", "left_anti")
+        chunks = _ch(clean, "doc_id", "text", size=12, overlap=3)
+        return _hs(chunks, ["doc_id", "chunk_id"], 0.5, seed=21)
+
+    bench_callable("training_corpus_200k", _corpus_200k)
 
     import tempfile
 

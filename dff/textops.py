@@ -204,3 +204,36 @@ def chunk_documents(
     return out.withColumn(
         "n_words", F.size(F.split(F.col("chunk_text"), " "))
     )
+
+
+#: PII patterns deliberately restricted to syntax valid in BOTH Java
+#: regex and RE2 (no backrefs, no lookaround) so redaction is replayable
+#: across engines — and auditable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+}
+
+
+def redact_pii(col: str | Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace emails / IPv4s / SSN-shaped tokens with typed placeholders
+    — the scrubbing pass a pre-training corpus runs before anything else.
+    A chain of ``regexp_replace`` (JVM, map-only); patterns applied in
+    declaration order, so an email's host part is redacted as part of the
+    email, never as a bare hostname."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds or tuple(PII_PATTERNS):
+        pat, repl = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_count(col: str | Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Number of PII matches (pre-redaction) — the audit metric."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for kind in kinds or tuple(PII_PATTERNS):
+        pat, _ = PII_PATTERNS[kind]
+        total = total + F.regexp_count(c, F.lit(pat))
+    return total

@@ -144,3 +144,29 @@ def test_chunk_documents_covers_every_word(spark):
         totals.join(words, "doc_id").where(F.col("covered") != F.col("nw")).count()
     )
     assert mismatches == 0
+
+
+def test_redact_pii_and_count(spark):
+    from dff.textops import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@sub.example.org and peer bob@ex.co end"),
+            (2, "server at 192.168.0.1 talked to 10.0.0.255"),
+            (3, "ssn 123-45-6789 but not 1234-56-789 or 12-345-6789"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["red"], r["n"])
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_count("text").alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> and peer <EMAIL> end", 2)
+    assert got[2] == ("server at <IP> talked to <IP>", 2)
+    assert got[3][1] == 1 and "<SSN>" in got[3][0] and "1234-56-789" in got[3][0]
+    assert got[4] == ("clean text with no pii at all", 0)
