@@ -928,6 +928,22 @@ def q_training_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_quota_sample(spark, sf_dir):
+    """Domain mixing (dff/sampling.py::quota_sample): cap en at 10% and
+    zh at 5% of the corpus total; unlisted langs pass through whole.  The
+    per-stratum keep fraction min(1, quota*N/N_s) is computed from exact
+    integer counts with the same left-associated double arithmetic in
+    both engines, so the selected row set still replays bit-identically
+    in DuckDB (window counts there, one driver collect here)."""
+    from dff.sampling import quota_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = quota_sample(
+        d, "lang", {"en": 0.10, "zh": 0.05}, key_cols=["doc_id"], seed=13
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrubbing (dff/textops.py::redact_pii): deterministic
     synthetic emails/IPs appended to each doc, then redacted with typed
@@ -1289,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         "pii_redaction": q_pii_redaction,
+        "quota_sample": q_quota_sample,
         "weighted_sample_per_group": q_weighted_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "dup_clusters": q_dup_clusters,
@@ -1657,6 +1674,22 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE change IS NOT NULL
         """,
         "pii_redaction": _pii_oracle_sql(),
+        # per-stratum keep fraction min(1, quota*N/N_s) from exact window
+        # counts; same md5 uniform (seed 13) as the Spark sampler
+        "quota_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     count(*) OVER () AS n,
+                     count(*) OVER (PARTITION BY lang) AS ns
+              FROM documents)
+            WHERE CAST(('0x' || substr(md5(concat_ws('|', '13',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0
+                < CASE lang
+                    WHEN 'en' THEN least(1.0, 0.10 * n / ns)
+                    WHEN 'zh' THEN least(1.0, 0.05 * n / ns)
+                    ELSE 1.0 END
+        """,
         # distinct shared word-3-grams per corpus doc vs the %37 benchmark
         # subset, same normalization as ngram_jaccard_exact
         "contamination": """

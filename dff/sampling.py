@@ -82,6 +82,45 @@ def stratified_sample(
     return df.where(uniform_hash(key_cols, seed) < thr)
 
 
+def quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quotas: dict[str, float],
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Domain mixing: cap each stratum at a target share of the CORPUS
+    (e.g. ``{"en": 0.3}`` -> at most ~30% of the total row count comes
+    from ``en``; strata without a quota pass through whole).  The
+    Pile/RedPajama-style source-mixing step, expressed as per-stratum keep
+    fractions ``min(1, quota * N_total / N_stratum)`` over the same
+    deterministic content-hash uniform — so the result is still
+    partition-invariant and engine-replayable GIVEN the same input.
+
+    One counting aggregation collects per-stratum totals to the driver
+    (bounded by the number of strata — sources/languages, not rows), then
+    the keep predicate is a pure map-side CASE like
+    :func:`stratified_sample`.  Two scans of ``df`` total."""
+    for s, q in quotas.items():
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quota for stratum {s!r} must be in (0, 1]")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    fractions = {
+        s: min(1.0, q * total / counts[s])
+        for s, q in quotas.items()
+        if s in counts and counts[s] > 0
+    }
+    return stratified_sample(
+        df, stratum_col, fractions, key_cols, default=1.0, seed=seed
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key_cols: list[str],

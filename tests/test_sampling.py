@@ -127,3 +127,22 @@ def test_weighted_sample_n_per_group_favors_heavy_rows(spark):
     )
     with pytest.raises(ValueError, match="n must"):
         weighted_sample_n_per_group(df, ["grp"], 0, ["id"], "wt")
+
+
+def test_quota_sample_caps_majority_stratum(spark):
+    from dff.sampling import quota_sample
+
+    df = spark.range(10000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("de").alias("lang"),
+    )
+    # en is 80% of the corpus; cap it at ~30% of total = 3000 rows
+    s = quota_sample(df, "lang", {"en": 0.3}, key_cols=["id"], seed=5)
+    counts = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 2000  # no quota -> untouched
+    assert 2700 < counts["en"] < 3300, counts
+    # quota above the stratum's share is a no-op (fraction clamps at 1)
+    s2 = quota_sample(df, "lang", {"de": 0.9}, key_cols=["id"], seed=5)
+    assert s2.count() == 10000
+    with pytest.raises(ValueError, match="quota"):
+        quota_sample(df, "lang", {"en": 0.0}, key_cols=["id"])
