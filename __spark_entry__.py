@@ -1245,6 +1245,56 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", F.round(q, 4).cast("double").alias("q"))
 
 
+def q_incremental_dedup_violations(spark, sf_dir):
+    """Driver-checkable INVARIANT for the incremental MinHash store
+    (dff/incremental.py): splitting the corpus into old/new halves, then
+    ``init(old) + probe(new)`` must find EXACTLY the pairs a one-shot
+    :func:`dff.dedup.minhash_dedup_pairs` run over the whole corpus finds,
+    restricted to pairs touching a new doc — same (id_a, id_b, est_jaccard)
+    triples (the est_jaccard arithmetic is count-of-64 / 64, exact in fp on
+    both paths).  Returns the symmetric difference — expected EMPTY."""
+    import hashlib
+    import tempfile
+
+    from dff.incremental import MinHashStore
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.xxhash64("doc_id") % 2 == 0)
+    new = d.where(F.xxhash64("doc_id") % 2 != 0)
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    loc = os.path.join(tempfile.gettempdir(), f"dff-incr-{tag}")
+    store = MinHashStore(spark, loc, managed=False)
+    store.init(old, "doc_id", "text")  # overwrite: rerun-safe
+    probed = store.probe(new, "doc_id", "text", threshold=0.7).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+    full = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.7)
+    new_ids = new.select(F.col("doc_id").alias("id_a"))
+    touching_new = full.join(
+        F.broadcast(new_ids), "id_a", "left_semi"
+    ).unionByName(
+        full.join(
+            F.broadcast(new_ids.withColumnRenamed("id_a", "id_b")),
+            "id_b",
+            "left_semi",
+        )
+    ).dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "est_jaccard")
+
+    # set difference via anti-joins (both sides are distinct on (id_a,id_b)
+    # by construction; exceptAll trips a Spark attribute-binding bug on
+    # these self-referencing cached subplans).  est_jaccard is k/64 with k
+    # integer on both paths, so the double equality in the join key is
+    # exact, not a tolerance comparison.
+    keys = ["id_a", "id_b", "est_jaccard"]
+    return (
+        probed.join(touching_new, keys, "left_anti")
+        .unionByName(touching_new.join(probed, keys, "left_anti"))
+        .select("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1285,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_stats": q_salted_stats,
         "quality_scores": q_quality_scores,
         "minhash_precision_violations": q_minhash_precision_violations,
+        "incremental_dedup_violations": q_incremental_dedup_violations,
         "simhash_precision_violations": q_simhash_precision_violations,
         "ivf_full_probe": q_ivf_full_probe,
         "ivf_consistency_violations": q_ivf_consistency_violations,
@@ -1597,6 +1648,10 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # invariant oracles: each violating-rows set must be EMPTY
         "minhash_precision_violations": """
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+            WHERE 1 = 0
+        """,
+        "incremental_dedup_violations": """
             SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
             WHERE 1 = 0
         """,
