@@ -1078,6 +1078,21 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_best_survivors(spark, sf_dir):
+    """Quality-weighted dedup: per duplicate cluster keep the member with
+    the LARGEST ``n_chars`` (tie-break min doc_id) instead of the minimum
+    id — what a training pipeline actually wants when collapsing near-dup
+    clusters (keep the longest/best copy).  Same n-gram jaccard pair graph
+    as ``dedup_survivors``, so the two oracles share the closure CTEs."""
+    from dff.cluster import best_survivors
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = q_ngram_jaccard_exact(spark, sf_dir).select("id_a", "id_b")
+    return best_survivors(d, pairs, "doc_id", "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # The reference scores single records widget-interactively; our streaming
 # surface is the engine-native analog.  This query puts it under the SAME
 # driver gate as batch (VERDICT r02 §next-8): the events table replayed as
@@ -1361,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "dup_clusters": q_dup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "best_survivors": q_best_survivors,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / trained IVF cells have no cross-engine twin); each
         # is covered by an oracle-checked invariant twin above
@@ -1951,6 +1967,25 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN comp c ON d.doc_id = c.node
             WHERE c.node = c.component
+        """,
+        "best_survivors": f"""
+            WITH RECURSIVE {_NGRAM_PAIR_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM njpairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM njpairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+            comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+            ranked AS (
+              SELECT d.doc_id, d.lang, d.n_chars,
+                     row_number() OVER (PARTITION BY c.component
+                                        ORDER BY d.n_chars DESC, d.doc_id ASC)
+                       AS rn
+              FROM documents d JOIN comp c ON d.doc_id = c.node)
+            SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1
         """,
         "stream_window_counts": """
             SELECT day, verdict_id, count(*) AS n FROM (

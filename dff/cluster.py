@@ -167,3 +167,46 @@ def canonical_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def best_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Deduplicate keeping the BEST cluster member, not the smallest id.
+
+    A training pipeline that collapses a near-dup cluster wants to keep
+    its highest-quality member (longest, best quality score, newest crawl
+    — whatever ``score_col`` encodes), with ties broken by minimum id so
+    the result is deterministic.  Rows in no pair pass through untouched.
+
+    Scale shape: the component table covers CLUSTERED nodes only (a small
+    subset on real corpora), so the winner election — one window over
+    (component) ordered by (score desc, id asc) — shuffles only cluster
+    members and their 8-byte scores, never the corpus; the corpus is
+    touched once, by the final loser anti-join (strategy left to AQE,
+    same reasoning as :func:`canonical_survivors`).
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src, dst, max_iter=max_iter)
+    members = cc.join(
+        df.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("__score")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("node").asc()
+    )
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

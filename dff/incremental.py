@@ -43,8 +43,12 @@ scale-path extension the north rule's continuous-ingest framing demands.
 
 from __future__ import annotations
 
+import os
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
 
 from .catalog import drop_table, save_managed, table_exists
 from .dedup import (
@@ -283,3 +287,137 @@ class MinHashStore:
             .where(F.col("est_jaccard") >= threshold)
         )
         return cross_pairs.unionByName(internal_pairs)
+
+
+def ingest_dedup_stream(
+    stream_df: DataFrame,
+    store: MinHashStore,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint_location: str,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+    trigger_seconds: int | None = None,
+    on_batch: Callable[[int, int, int], None] | None = None,
+) -> StreamingQuery:
+    """Continuous-ingest near-dup filtering: each micro-batch is probed
+    against the persisted store, survivors land in ``out_path`` and join
+    the store, so every later batch is deduped against EVERYTHING kept
+    so far — the streaming closure of :meth:`MinHashStore.probe`.
+
+    Per batch: (1) probe -> near-dup pairs; (2) losers = batch docs that
+    cross-dup a stored doc, plus non-canonical members (min-id survives)
+    of batch-internal clusters via :func:`dff.cluster.connected_components`
+    — transitive chains THROUGH a dropped doc are accepted, the standard
+    pair-graph semantic; (3) survivors overwrite their own
+    ``__batch=<id>`` partition of ``out_path`` (dynamic partition
+    overwrite -> redelivered batches replace themselves: the SINK is
+    exactly-once); (4) survivors enter the store; (5) an ``_ingested``
+    marker commits the batch.
+
+    Crash-window semantics (between survivor write and marker): the
+    redelivered batch re-probes and recomputes the IDENTICAL survivor set
+    — duplicate store rows from a half-done ``add`` cannot change it,
+    because loser extraction is semi-join/distinct shaped — rewrites the
+    same partition, and appends the signatures once more.  Store appends
+    are therefore at-least-once (bounded: once per crash), which costs
+    duplicate candidate rows in later probes but never changes any
+    survivor set; the survivor OUTPUT stays exactly-once.
+
+    First batch bootstraps the store (internal dedup only, then
+    ``init``).  ``on_batch(batch_id, n_in, n_kept)`` is an optional
+    observer hook for tests/metrics.
+    """
+    from .cluster import connected_components
+    from .dedup import minhash_dedup_pairs
+
+    os.makedirs(out_path, exist_ok=True)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        marker = os.path.join(out_path, f"_ingested_{batch_id}")
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        batch = batch.persist()
+        n_in = batch.count()
+        try:
+            if store.exists():
+                pairs = store.probe(
+                    batch, id_col, text_col,
+                    threshold=threshold, max_bucket_size=max_bucket_size,
+                )
+                cross_losers = (
+                    pairs.where(F.col("cross"))
+                    .select(
+                        F.explode(F.array("id_a", "id_b")).alias(id_col)
+                    )
+                    .join(batch.select(id_col), id_col, "left_semi")
+                )
+                internal = pairs.where(~F.col("cross"))
+            else:
+                internal = minhash_dedup_pairs(
+                    batch, id_col, text_col,
+                    num_hashes=store.num_hashes, bands=store.bands,
+                    k=store.k, threshold=threshold, seed=store.seed,
+                    max_bucket_size=max_bucket_size,
+                )
+                cross_losers = None
+            cc = connected_components(
+                internal.select("id_a", "id_b"), "id_a", "id_b"
+            )
+            losers = cc.where(F.col("node") != F.col("component")).select(
+                F.col("node").alias(id_col)
+            )
+            if cross_losers is not None:
+                losers = losers.unionByName(cross_losers)
+            survivors = batch.join(
+                losers.distinct(), id_col, "left_anti"
+            ).persist()
+            n_kept = survivors.count()
+
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    survivors.withColumn("__batch", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("__batch")
+                    .parquet(out_path)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            if n_kept:
+                if store.exists():
+                    store.add(survivors, id_col, text_col)
+                else:
+                    store.init(survivors, id_col, text_col)
+            with open(marker, "w"):
+                pass
+            if on_batch is not None:
+                on_batch(int(batch_id), n_in, n_kept)
+            survivors.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_ingested(spark: SparkSession, out_path: str) -> DataFrame:
+    """The deduplicated, continuously-ingested corpus (all batches)."""
+    return spark.read.parquet(out_path).drop("__batch")

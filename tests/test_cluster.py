@@ -92,6 +92,39 @@ def test_canonical_survivors_removes_cluster_losers_only(spark):
     assert kept == [0, 1, 2, 4, 6, 7, 9]
 
 
+def test_best_survivors_keeps_highest_score_with_id_tiebreak(spark):
+    from dff.cluster import best_survivors
+
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate([9, 5, 7, 8, 1, 8, 3, 2, 7, 4])],
+        "doc_id bigint, quality double",
+    )
+    # cluster {1,3,5}: scores 5/8/8 -> tie between 3 and 5, min id 3 wins;
+    # cluster {2,8}: scores 7/7 -> tie, min id 2 wins; others untouched
+    pairs = spark.createDataFrame(
+        [(3, 1), (3, 5), (8, 2)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in best_survivors(df, pairs, "doc_id", "quality").collect()
+    )
+    assert kept == [0, 2, 3, 4, 6, 7, 9]
+
+
+def test_best_survivors_prefers_score_over_min_id(spark):
+    from dff.cluster import best_survivors
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "doc_id bigint, quality double"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a bigint, id_b bigint")
+    kept = [
+        r["doc_id"]
+        for r in best_survivors(df, pairs, "doc_id", "quality").collect()
+    ]
+    assert kept == [2]  # canonical_survivors would keep 0
+
+
 def test_empty_edges_and_validation(spark):
     edf = spark.createDataFrame([], "id_a bigint, id_b bigint")
     ndf = spark.createDataFrame([(1,), (2,)], "doc_id bigint")

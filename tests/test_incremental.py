@@ -153,3 +153,86 @@ def test_managed_probe_store_side_skips_shuffle(spark, tmp_path):
 def test_mismatched_family_is_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="bands must divide"):
         MinHashStore(spark, str(tmp_path / "x"), num_hashes=64, bands=13)
+
+
+THIRD = (
+    "a genuinely different document about distributed consensus protocols "
+    "where leaders replicate ordered logs to follower quorums and commit "
+    "entries once a majority of the cluster has durably acknowledged them"
+)
+
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+def _append_batch(spark, path, rows):
+    spark.createDataFrame(rows, _DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_ingest_dedup_stream_end_to_end(spark, tmp_path):
+    """Two micro-batches: batch 0 bootstraps the store with its internal
+    survivors; batch 1 drops a doc that cross-dups the store, keeps the
+    canonical member of its internal cluster, and extends the store."""
+    from dff.incremental import ingest_dedup_stream, read_ingested
+
+    src = str(tmp_path / "src")
+    _append_batch(
+        spark, src, [(0, BASE), (1, OTHER), (2, BASE + " small tail")]
+    )
+    _append_batch(
+        spark,
+        src,
+        [
+            (10, BASE.replace("shuffle services", "the shuffle service")),
+            (11, THIRD),
+            (12, THIRD + " with a few extra words"),
+        ],
+    )
+    store = MinHashStore(spark, str(tmp_path / "store"), managed=False)
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    seen = []
+    q = ingest_dedup_stream(
+        stream, store, "doc_id", "text", out, str(tmp_path / "ck"),
+        threshold=0.5, on_batch=lambda b, n, k: seen.append((b, n, k)),
+    )
+    assert q.awaitTermination(180)
+    kept = sorted(r["doc_id"] for r in read_ingested(spark, out).collect())
+    assert kept == [0, 1, 11]
+    assert store.load_sigs().count() == 3  # store holds exactly the kept docs
+    assert seen == [(0, 3, 2), (1, 3, 1)]
+
+
+def test_ingest_marker_skips_redelivered_batch(spark, tmp_path):
+    """A batch already committed (marker present) is skipped on redelivery
+    from a fresh stream checkpoint: no duplicate store appends, no output
+    changes, observer not called again."""
+    from dff.incremental import ingest_dedup_stream, read_ingested
+
+    src = str(tmp_path / "src")
+    _append_batch(spark, src, [(0, BASE), (1, OTHER)])
+    store = MinHashStore(spark, str(tmp_path / "store"), managed=False)
+    out = str(tmp_path / "out")
+
+    def run(ck, log):
+        stream = spark.readStream.schema(_DOC_SCHEMA).parquet(src)
+        q = ingest_dedup_stream(
+            stream, store, "doc_id", "text", out, str(tmp_path / ck),
+            threshold=0.5, on_batch=lambda b, n, k: log.append(b),
+        )
+        assert q.awaitTermination(180)
+
+    first, second = [], []
+    run("ck1", first)
+    assert first == [0] and store.load_sigs().count() == 2
+    run("ck2", second)  # fresh checkpoint -> batch 0 redelivered
+    assert second == []  # marker short-circuits
+    assert store.load_sigs().count() == 2
+    assert sorted(
+        r["doc_id"] for r in read_ingested(spark, out).collect()
+    ) == [0, 1]
