@@ -181,6 +181,48 @@ def q_inner_join(spark, sf_dir):
     )
 
 
+def q_left_outer_join(spark, sf_dir):
+    """Left outer equi-join: customers with no matching order survive with
+    null order columns (the reference's only join is inner —
+    01_dff_model.py:476-480; outer joins round out the relational surface
+    a validation report needs, e.g. 'every entity, matched or not')."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_full_outer_join(spark, sf_dir):
+    """Full outer join of two derived dimensions: rich customers vs
+    customers having big orders — rows exist on both exclusive sides."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 7000).select(
+        F.col("c_custkey").alias("k_rich"),
+        F.round("c_acctbal", 4).alias("acctbal"),
+    )
+    big = (
+        o.where(F.col("o_totalprice") > 250000)
+        .groupBy(F.col("o_custkey").alias("k_big"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    return rich.join(
+        big, rich.k_rich == big.k_big, "full_outer"
+    ).select(
+        F.coalesce("k_rich", "k_big").alias("custkey"),
+        "acctbal",
+        "n_big_orders",
+    )
+
+
+def q_cross_join_small(spark, sf_dir):
+    """Cartesian product of the two tiny dims (region x nation grid)."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return r.crossJoin(n)
+
+
 def q_broadcast_join(spark, sf_dir):
     """Explicit broadcast-hash join of a small dimension (SURVEY §4)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -525,6 +567,32 @@ def q_psi_drift(spark, sf_dir):
     pe = F.greatest(F.col("p_cnt") / F.col("pt"), F.lit(1e-6))
     qe = F.greatest(F.col("q_cnt") / F.col("qt"), F.lit(1e-6))
     return j.agg(F.round(F.sum((qe - pe) * F.log(qe / pe)), 4).alias("psi"))
+
+
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon divergence between the same two n_chars histograms as
+    ``psi_drift`` (lang='en' docs vs all docs, shared 100-char bins) —
+    symmetric and bounded by ln 2 where PSI is neither; rides the identical
+    two-histogram plan, only the final map-side formula differs."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).alias("bucket")
+    allh = d.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("q_cnt"))
+    enh = (
+        d.where(F.col("lang") == "en")
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("p_cnt"))
+    )
+    joined = allh.join(enh, "bucket", "full_outer").fillna(0)
+    tot = joined.agg(
+        F.sum("p_cnt").alias("pt"), F.sum("q_cnt").alias("qt")
+    )
+    j = joined.crossJoin(tot)
+    pe = F.greatest(F.col("p_cnt") / F.col("pt"), F.lit(1e-6))
+    qe = F.greatest(F.col("q_cnt") / F.col("qt"), F.lit(1e-6))
+    me = (pe + qe) / 2
+    term = pe * F.log(pe / me) * 0.5 + qe * F.log(qe / me) * 0.5
+    return j.agg(F.round(F.sum(term), 6).alias("js"))
 
 
 def q_lang_id(spark, sf_dir):
@@ -1321,6 +1389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project": q_filter_project,
         "case_when_matrix": q_case_when_matrix,
         "inner_join": q_inner_join,
+        "left_outer_join": q_left_outer_join,
+        "full_outer_join": q_full_outer_join,
+        "cross_join_small": q_cross_join_small,
         "broadcast_join": q_broadcast_join,
         "left_anti": q_left_anti,
         "left_anti_big_dim": q_left_anti_big_dim,
@@ -1345,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "source_profile": q_source_profile,
         "psi_drift": q_psi_drift,
+        "js_drift": q_js_drift,
         "lang_id": q_lang_id,
         "ann_bruteforce": q_ann_bruteforce,
         "salted_stats": q_salted_stats,
@@ -1502,6 +1574,26 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,
+        "left_outer_join": """
+            SELECT c_custkey, o_orderkey, o_totalprice
+            FROM customer LEFT JOIN
+                 (SELECT * FROM orders WHERE o_totalprice > 200000) o
+                 ON c_custkey = o.o_custkey
+        """,
+        "full_outer_join": """
+            SELECT coalesce(k_rich, k_big) AS custkey, acctbal, n_big_orders
+            FROM (SELECT c_custkey AS k_rich, round(c_acctbal, 4) AS acctbal
+                  FROM customer WHERE c_acctbal > 7000) r
+            FULL OUTER JOIN
+                 (SELECT o_custkey AS k_big, count(*) AS n_big_orders
+                  FROM orders WHERE o_totalprice > 250000
+                  GROUP BY o_custkey) b
+                 ON r.k_rich = b.k_big
+        """,
+        "cross_join_small": """
+            SELECT r_regionkey, r_name, n_nationkey, n_name
+            FROM region CROSS JOIN nation
+        """,
         "left_anti": """
             SELECT p_partkey, p_brand FROM part
             WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
@@ -1649,6 +1741,22 @@ def _oracle_sql_base() -> dict[str, str]:
                 SELECT greatest(p_cnt * 1.0 / pt, 1e-6) AS pe,
                        greatest(q_cnt * 1.0 / qt, 1e-6) AS qe
                 FROM j CROSS JOIN t)
+        """,
+        "js_drift": """
+            WITH b AS (SELECT least(floor(n_chars / 100), 9) AS bucket, lang FROM documents),
+            q AS (SELECT bucket, count(*) AS q_cnt FROM b GROUP BY bucket),
+            p AS (SELECT bucket, count(*) AS p_cnt FROM b WHERE lang = 'en' GROUP BY bucket),
+            j AS (SELECT coalesce(q.bucket, p.bucket) AS bucket,
+                         coalesce(p_cnt, 0) AS p_cnt, coalesce(q_cnt, 0) AS q_cnt
+                  FROM q FULL OUTER JOIN p ON q.bucket = p.bucket),
+            t AS (SELECT sum(p_cnt) AS pt, sum(q_cnt) AS qt FROM j)
+            SELECT round(sum(0.5 * pe * ln(pe / me) + 0.5 * qe * ln(qe / me)), 6)
+                     AS js
+            FROM (
+                SELECT pe, qe, (pe + qe) / 2 AS me FROM (
+                    SELECT greatest(p_cnt * 1.0 / pt, 1e-6) AS pe,
+                           greatest(q_cnt * 1.0 / qt, 1e-6) AS qe
+                    FROM j CROSS JOIN t))
         """,
         # tie-break parity: Spark's array_max over struct(score, lang) picks the
         # lexicographically LARGEST lang among tied scores (fr > es > en > de)

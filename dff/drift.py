@@ -135,6 +135,23 @@ def psi(expected: np.ndarray, actual: np.ndarray, eps: float = 1e-6) -> float:
     return float(np.sum((q - p) * np.log(q / p)))
 
 
+def js_divergence(
+    expected: np.ndarray, actual: np.ndarray, eps: float = 1e-6
+) -> float:
+    """Jensen-Shannon divergence (natural log, so bounded by ln 2) with
+    the SAME clip->renormalize smoothing as :func:`psi` — symmetric and
+    bounded where PSI is neither, the better alarm metric when either
+    side can have empty buckets."""
+    p = expected / max(expected.sum(), 1.0)
+    q = actual / max(actual.sum(), 1.0)
+    p = np.clip(p, eps, None)
+    q = np.clip(q, eps, None)
+    p = p / p.sum()
+    q = q / q.sum()
+    m = (p + q) / 2.0
+    return float(0.5 * np.sum(p * np.log(p / m)) + 0.5 * np.sum(q * np.log(q / m)))
+
+
 def ks_binned(expected: np.ndarray, actual: np.ndarray) -> float:
     """Two-sample KS statistic from binned CDFs (upper bound on exact KS
     error is one bin of probability mass)."""
@@ -157,6 +174,7 @@ DRIFT_RESULT_SCHEMA = T.StructType(
         T.StructField("column", T.StringType()),
         T.StructField("psi", T.DoubleType()),
         T.StructField("ks", T.DoubleType()),
+        T.StructField("js", T.DoubleType()),
     ]
 )
 
@@ -180,10 +198,11 @@ def partition_histograms(
 
 def _column_drift_exprs(
     bins, baseline: dict[str, np.ndarray], eps: float = 1e-6
-) -> tuple[Column, Column]:
-    """(psi, ks) Catalyst expressions for one tracked column, replicating
-    :func:`psi` / :func:`ks_binned` term by term with the baseline side
-    folded into literals (it is constant across every partition row)."""
+) -> tuple[Column, Column, Column]:
+    """(psi, ks, js) Catalyst expressions for one tracked column,
+    replicating :func:`psi` / :func:`ks_binned` / :func:`js_divergence`
+    term by term with the baseline side folded into literals (it is
+    constant across every partition row)."""
 
     def fold(xs):
         e = xs[0]
@@ -212,6 +231,16 @@ def _column_drift_exprs(
         pb = F.lit(float(p_psi[b]))
         terms.append((qb - pb) * F.log(qb / pb))
     psi_expr = fold(terms)
+    # js: 0.5*KL(p||m) + 0.5*KL(q||m), m = (p+q)/2, same clipped inputs
+    js_terms = []
+    for b in range(bins.n_buckets):
+        qb = qc[b] / qs
+        pb = F.lit(float(p_psi[b]))
+        mb = (pb + qb) / 2
+        js_terms.append(
+            pb * F.log(pb / mb) * 0.5 + qb * F.log(qb / mb) * 0.5
+        )
+    js_expr = fold(js_terms)
     # ks: max |cdf(p) - cdf(q)| over the shared bins
     run = None
     diffs = []
@@ -219,7 +248,7 @@ def _column_drift_exprs(
         run = q[b] if run is None else run + q[b]
         diffs.append(F.abs(run - F.lit(float(p_cdf[b]))))
     ks_expr = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
-    return psi_expr, ks_expr
+    return psi_expr, ks_expr, js_expr
 
 
 def drift_from_histograms(
@@ -244,12 +273,13 @@ def drift_from_histograms(
     """
     pairs = []
     for bins in spec.all_bins:
-        psi_e, ks_e = _column_drift_exprs(bins, baseline)
+        psi_e, ks_e, js_e = _column_drift_exprs(bins, baseline)
         pairs.append(
             F.struct(
                 F.lit(bins.column).alias("column"),
                 psi_e.alias("psi"),
                 ks_e.alias("ks"),
+                js_e.alias("js"),
             )
         )
     return hist.select(
@@ -284,9 +314,12 @@ def drift_from_histograms_pandas(
                         "column": col,
                         "psi": psi(base, counts),
                         "ks": ks_binned(base, counts),
+                        "js": js_divergence(base, counts),
                     }
                 )
-        return pd.DataFrame(out, columns=["part_id", "column", "psi", "ks"])
+        return pd.DataFrame(
+            out, columns=["part_id", "column", "psi", "ks", "js"]
+        )
 
     return hist.groupBy(part_col).applyInPandas(compute, DRIFT_RESULT_SCHEMA)
 

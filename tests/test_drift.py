@@ -117,6 +117,7 @@ def test_expr_drift_matches_pandas_reference(spark):
     assert list(got["column"]) == list(want["column"])
     assert np.allclose(got["psi"], want["psi"], rtol=0, atol=1e-9)
     assert np.allclose(got["ks"], want["ks"], rtol=0, atol=1e-9)
+    assert np.allclose(got["js"], want["js"], rtol=0, atol=1e-9)
     # all-empty histogram row: both sides must agree (qt clamps to 1)
     empty = hist.limit(1).select(
         F.lit(99).alias("part_id"),
@@ -132,6 +133,23 @@ def test_expr_drift_matches_pandas_reference(spark):
     we = we.sort_values("column").reset_index(drop=True)
     assert np.allclose(ge["psi"], we["psi"], atol=1e-9)
     assert np.allclose(ge["ks"], we["ks"], atol=1e-9)
+    assert np.allclose(ge["js"], we["js"], atol=1e-9)
+
+
+def test_js_divergence_properties():
+    """JS is zero on identical distributions, symmetric, and bounded by
+    ln 2 even on disjoint supports (where PSI explodes)."""
+    from dff.drift import js_divergence
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, 100, size=12).astype(np.float64)
+    b = rng.integers(1, 100, size=12).astype(np.float64)
+    assert js_divergence(a, a) < 1e-12
+    assert abs(js_divergence(a, b) - js_divergence(b, a)) < 1e-12
+    disjoint_p = np.array([100.0, 0.0, 0.0, 0.0])
+    disjoint_q = np.array([0.0, 0.0, 0.0, 100.0])
+    js = js_divergence(disjoint_p, disjoint_q)
+    assert 0.0 < js <= np.log(2) + 1e-9
 
 
 def test_drift_projection_is_shuffle_free(spark):
