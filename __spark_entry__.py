@@ -1318,6 +1318,20 @@ def q_session_counts(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_word_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the word distribution (lexical-diversity
+    quality signal).  Rounded through decimal(20,10) for the same
+    cross-engine half-boundary reason as ``quality_scores``."""
+    from dff.textops import word_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    we = word_entropy(d, "doc_id", "text")
+    h = F.col("entropy").cast("decimal(20,10)")
+    return we.select(
+        "doc_id", "n_words", F.round(h, 4).cast("double").alias("h")
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # round once, through decimal(20,10): rounding a raw DOUBLE diverges
@@ -1421,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "salted_stats": q_salted_stats,
         "quality_scores": q_quality_scores,
+        "word_entropy": q_word_entropy,
         "minhash_precision_violations": q_minhash_precision_violations,
         "incremental_dedup_violations": q_incremental_dedup_violations,
         "simhash_precision_violations": q_simhash_precision_violations,
@@ -2178,6 +2193,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(round(CAST(0.5 * length_score + 0.3 * punct_pen + 0.2 * stop_score
                                    AS DECIMAL(20,10)), 4) AS DOUBLE) AS q
             FROM s
+        """,
+        "word_entropy": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+              FROM documents),
+            c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(round(CAST(ln(sum(c)) - sum(c * ln(c)) / sum(c)
+                                   AS DECIMAL(20,10)), 4) AS DOUBLE) AS h
+            FROM c GROUP BY doc_id
         """,
         "ann_bruteforce": """
             SELECT query_id, item_id, round(cosine, 4) AS cosine_r, rank FROM (

@@ -237,3 +237,32 @@ def pii_count(col: str | Column, kinds: tuple[str, ...] | None = None) -> Column
         pat, _ = PII_PATTERNS[kind]
         total = total + F.regexp_count(c, F.lit(pat))
     return total
+
+
+def word_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy (nats) of the word distribution —
+    the classic lexical-diversity quality signal: boilerplate and
+    keyword-stuffed spam score low, natural prose scores high (the
+    Gopher-rules companion to :func:`repetition_ratio`).
+
+    H = ln(n) - sum(c_w * ln(c_w)) / n over per-doc word counts c_w.
+    Plan shape: explode -> two-level agg with map-side combine — the
+    (doc, word) shuffle is bounded by the corpus token count and the
+    second shuffle by doc count; no Python anywhere.  Docs with NULL
+    text are dropped (no distribution to measure).
+
+    Returns (id_col, n_words, entropy).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__w"),
+    )
+    counts = words.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n = F.sum("__c")
+    s = F.sum(F.col("__c") * F.log("__c"))
+    return counts.groupBy(id_col).agg(
+        n.alias("n_words"),
+        (F.log(n) - s / n).alias("entropy"),
+    )

@@ -170,3 +170,29 @@ def test_redact_pii_and_count(spark):
     assert got[2] == ("server at <IP> talked to <IP>", 2)
     assert got[3][1] == 1 and "<SSN>" in got[3][0] and "1234-56-789" in got[3][0]
     assert got[4] == ("clean text with no pii at all", 0)
+
+
+def test_word_entropy_hand_computed(spark):
+    import math
+
+    from dff.textops import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b b"),               # H = ln 2
+            (2, "solo"),                  # one word -> 0
+            (3, "a b c d"),               # uniform 4 -> ln 4
+            (4, "x x   X  x"),            # normalized: x*4 -> 0
+            (5, None),                    # NULL text -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["entropy"])
+        for r in word_entropy(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == 4 and abs(got[1][1] - math.log(2)) < 1e-12
+    assert got[2] == (1, 0.0)
+    assert abs(got[3][1] - math.log(4)) < 1e-12
+    assert got[4] == (4, 0.0)
