@@ -1318,6 +1318,20 @@ def q_session_counts(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test assignment by content hash
+    (dff/sampling.py::assign_splits): every doc gets exactly one label,
+    stable under repartitioning and replayable in DuckDB.  Weights are
+    binary-exact (0.75/0.125/0.125) so the cumulative thresholds are the
+    same doubles in both engines."""
+    from dff.sampling import assign_splits
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_splits(
+        d, ["doc_id"], {"train": 0.75, "val": 0.125, "test": 0.125}, seed=11
+    ).select("doc_id", "split")
+
+
 def q_word_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the word distribution (lexical-diversity
     quality signal).  Rounded through decimal(20,10) for the same
@@ -1450,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_exact": q_heavy_hitters_exact,
         "heavy_hitters_violations": q_heavy_hitters_violations,
         "stratified_sample": q_stratified_sample,
+        "split_assignment": q_split_assignment,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
@@ -1830,6 +1845,17 @@ def _oracle_sql_base() -> dict[str, str]:
                   / 1152921504606846976.0
                 < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
                             WHEN 'zh' THEN 0.75 ELSE 0.5 END
+        """,
+        "split_assignment": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(concat_ws('|', '11',
+                              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                         / 1152921504606846976.0 AS u
+                  FROM documents)
         """,
         "sample_per_group": """
             SELECT lang, doc_id FROM (

@@ -206,3 +206,39 @@ def sample_n_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive split assignment (train/val/test) by content
+    hash: every row gets exactly one label, rows keep their label under
+    any repartitioning or re-run, and adding a new split later only moves
+    rows whose hash falls in the new band.
+
+    Bands are cumulative over ``weights`` IN DICT ORDER (order is part of
+    the assignment contract — reordering relabels rows).  Map-only: a
+    CASE chain over the same 60-bit-md5 uniform as :func:`hash_sample`,
+    so the assignment is exactly replayable in any engine with md5.
+    Weights must be positive and sum to 1 (the last band absorbs the
+    floating-point tail via ``otherwise``).
+    """
+    if not weights or len(weights) < 2:
+        raise ValueError("need at least two splits")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("split weights must be positive")
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights.values())}")
+    u = uniform_hash(key_cols, seed)
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(names[-1]))

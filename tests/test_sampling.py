@@ -146,3 +146,35 @@ def test_quota_sample_caps_majority_stratum(spark):
     assert s2.count() == 10000
     with pytest.raises(ValueError, match="quota"):
         quota_sample(df, "lang", {"en": 0.0}, key_cols=["id"])
+
+
+def test_assign_splits_disjoint_exhaustive_deterministic(spark):
+    from dff.sampling import assign_splits
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.75, "val": 0.125, "test": 0.125}
+    got = assign_splits(df, ["doc_id"], w, seed=3)
+    counts = {r["split"]: r["n"] for r in
+              got.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 4000  # exhaustive, one label per row
+    assert abs(counts["train"] / 4000 - 0.75) < 0.03
+    assert abs(counts["val"] / 4000 - 0.125) < 0.02
+    assert abs(counts["test"] / 4000 - 0.125) < 0.02
+    # partition-invariant: repartitioned input gets the identical labels
+    a = {(r["doc_id"], r["split"]) for r in got.collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in assign_splits(df.repartition(17), ["doc_id"], w, seed=3).collect()
+    }
+    assert a == b
+
+
+def test_assign_splits_validation():
+    from dff.sampling import assign_splits
+
+    with pytest.raises(ValueError, match="at least two"):
+        assign_splits(None, ["k"], {"train": 1.0})
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(None, ["k"], {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="positive"):
+        assign_splits(None, ["k"], {"a": 1.5, "b": -0.5})
