@@ -436,6 +436,53 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def _asof_sides(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return clicks, purchases
+
+
+def q_asof_join_forward(spark, sf_dir):
+    """Forward-inclusive as-of: each click picks up the user's NEXT
+    purchase at or after it (smallest ts >= click ts; ties keep the
+    smallest event_id — the oracle mirrors both orderings)."""
+    from dff.asof import asof_join
+
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    out = asof_join(
+        clicks, purchases, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], right_order=["event_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r"), F.col("event_id_r"), F.col("value_r"),
+    )
+
+
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of: the closer of the backward/forward matches, exact
+    distance ties resolving backward — same one-shuffle plan, two window
+    specs over one Exchange."""
+    from dff.asof import asof_join
+
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    out = asof_join(
+        clicks, purchases, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], right_order=["event_id"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r"), F.col("event_id_r"), F.col("value_r"),
+    )
+
+
 def q_asof_join_skewed(spark, sf_dir):
     """Skew-aware as-of join (dff/asof.py:asof_join_skewed): the same
     backward-inclusive semantics as q_asof_join but realized with coarse
@@ -1438,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "asof_join": q_asof_join,
         "asof_join_skewed": q_asof_join_skewed,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
         "range_join": q_range_join,
         "interval_overlap_join": q_interval_overlap_join,
         "sha256": q_sha256,
@@ -1719,6 +1768,50 @@ def _oracle_sql_base() -> dict[str, str]:
               LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
                          WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+            )
+            SELECT event_id, user_id, ts, ts_r, event_id_r, value_r
+            FROM j WHERE rn = 1
+        """,
+        "asof_join_forward": """
+            WITH j AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     r.ts AS ts_r, r.event_id AS event_id_r,
+                     r.value AS value_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY r.ts ASC, r.event_id ASC
+                     ) AS rn
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click') l
+              LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                         WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND r.ts >= l.ts
+            )
+            SELECT event_id, user_id, ts, ts_r, event_id_r, value_r
+            FROM j WHERE rn = 1
+        """,
+        "asof_join_nearest": """
+            -- rank ALL the user's purchases by |distance|, preferring the
+            -- backward side on exact ties, then the side-specific id
+            -- tie-break (backward keeps the largest event_id, forward the
+            -- smallest) - the explicit enumeration of the engine's
+            -- two-window nearest semantics
+            WITH j AS (
+              SELECT l.event_id, l.user_id, l.ts,
+                     r.ts AS ts_r, r.event_id AS event_id_r,
+                     r.value AS value_r,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY abs(epoch(r.ts) - epoch(l.ts)) ASC,
+                                CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC,
+                                CASE WHEN r.ts <= l.ts THEN -r.event_id
+                                     ELSE r.event_id END ASC
+                     ) AS rn
+              FROM (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click') l
+              LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                         WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id
             )
             SELECT event_id, user_id, ts, ts_r, event_id_r, value_r
             FROM j WHERE rn = 1

@@ -43,12 +43,31 @@ def asof_join(
     right_cols: list[str],
     right_suffix: str = "_r",
     right_order: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join (see module docstring).
+    """As-of join (see module docstring); all three pandas ``merge_asof``
+    directions, inclusive:
+
+    - ``"backward"`` (default): largest right ts <= left ts;
+    - ``"forward"``: smallest right ts >= left ts;
+    - ``"nearest"``: whichever of the two is closer in time; an exact
+      distance tie resolves to the backward match.
+
+    All directions are the SAME single shuffle of (left + right) on the
+    key columns; forward adds nothing, nearest adds one extra sort over
+    the already-partitioned data (two window specs, one Exchange).
+    Tie-break among right rows sharing a timestamp: backward keeps the
+    LARGEST ``right_order`` (the latest), forward the SMALLEST (the
+    earliest) — each deterministic, mirroring "most recent before" /
+    "first after".
 
     Returns every ``left`` column plus ``{ts_col}{right_suffix}`` and each
-    of ``right_cols`` suffixed — NULL where no right row precedes.
+    of ``right_cols`` suffixed — NULL where no right row qualifies.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     # A right row with a NULL timestamp can never be "the largest ts <="
     # anything (DuckDB ASOF / pandas merge_asof agree) — but Spark's asc
     # sort puts nulls FIRST, so an unfiltered null-ts right row would sort
@@ -75,17 +94,59 @@ def asof_join(
     )
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
     u = l2.unionByName(r2)
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
-    for c in right_order or []:
-        order.append(F.col("__r").getField(c).asc_nulls_first())
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.withColumn(
-        "__match", F.last("__r", ignorenulls=True).over(w)
-    ).where(F.col("__side") == 1)
+
+    def back_match():
+        # right rows at the left ts sort FIRST (side 0 < 1) -> inclusive;
+        # among equal-ts right rows last() keeps the largest right_order
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+        for c in right_order or []:
+            order.append(F.col("__r").getField(c).asc_nulls_first())
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__r", ignorenulls=True).over(w)
+
+    def fwd_match():
+        # left rows sort FIRST at equal ts (side desc: 1 before 0) ->
+        # a right row at exactly the left ts is inside the following
+        # frame (inclusive); first() keeps the smallest right_order
+        order = [F.col("__ts").asc(), F.col("__side").desc()]
+        for c in right_order or []:
+            order.append(F.col("__r").getField(c).asc_nulls_first())
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        # a NULL-ts left row sorts FIRST (asc nulls first) and would see
+        # every right row in its following frame — mask it to no-match,
+        # mirroring the backward direction's natural behavior
+        return F.when(
+            F.col("__ts").isNotNull(), F.first("__r", ignorenulls=True).over(w)
+        )
+
+    if direction == "backward":
+        filled = u.withColumn("__match", back_match())
+    elif direction == "forward":
+        filled = u.withColumn("__match", fwd_match())
+    else:  # nearest: both windows share the ONE hash partitioning
+        filled = u.withColumn("__b", back_match()).withColumn(
+            "__f", fwd_match()
+        )
+        b_ts, f_ts = F.col(f"__b.{ts_col}"), F.col(f"__f.{ts_col}")
+        # distance tie (or missing side) resolves to the backward match
+        filled = filled.withColumn(
+            "__match",
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(
+                F.col("__ts") - b_ts <= f_ts - F.col("__ts"), F.col("__b")
+            )
+            .otherwise(F.col("__f")),
+        )
+    filled = filled.where(F.col("__side") == 1)
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col(f"__match.{ts_col}").alias(f"{ts_col}{right_suffix}"))
     out_cols += [

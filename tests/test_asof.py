@@ -189,3 +189,87 @@ def test_skewed_asof_handles_timestamp_ntz(spark):
         bucket_width=60.0,
     ).collect()
     assert [(r["rid"], r["rid_r"]) for r in out] == [("a", "r3")]
+
+
+def test_forward_inclusive_and_null_ts_left(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _TS(5), "a"),    # next right at/after 5 -> r10
+            (1, _TS(10), "b"),   # exactly 10 -> r10 (inclusive)
+            (1, _TS(25), "c"),   # after every right row -> nulls
+            (1, None, "n"),      # NULL left ts must match nothing
+        ],
+        _L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [(1, _TS(3), "r3", 3.0), (1, _TS(10), "r10", 10.0), (1, _TS(20), "r20", 20.0)],
+        _R_SCHEMA,
+    )
+    out = {
+        r["lid"]: (r["rid_r"], r["v_r"])
+        for r in asof_join(
+            left, right, ["k"], "ts", ["rid", "v"], direction="forward"
+        ).collect()
+    }
+    assert out["a"] == ("r10", 10.0)
+    assert out["b"] == ("r10", 10.0)
+    assert out["c"] == (None, None)
+    assert out["n"] == (None, None)
+
+
+def test_forward_tiebreak_smallest_right_order(spark):
+    left = spark.createDataFrame([(1, _TS(5), "a")], _L_SCHEMA)
+    right = spark.createDataFrame(
+        [(1, _TS(8), "r8b", 2.0), (1, _TS(8), "r8a", 1.0)], _R_SCHEMA
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", ["rid", "v"],
+        right_order=["rid"], direction="forward",
+    ).first()
+    assert out["rid_r"] == "r8a"  # forward keeps the SMALLEST tie-break
+
+
+def test_nearest_picks_closer_and_ties_backward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _TS(4), "a"),    # r3 at d=1 vs r10 at d=6 -> backward r3
+            (1, _TS(8), "b"),    # r3 at d=5 vs r10 at d=2 -> forward r10
+            (1, _TS(15), "c"),   # r10 d=5 vs r20 d=5 -> tie -> backward r10
+            (2, _TS(5), "d"),    # no right rows -> nulls
+        ],
+        _L_SCHEMA,
+    )
+    right = spark.createDataFrame(
+        [(1, _TS(3), "r3", 3.0), (1, _TS(10), "r10", 10.0), (1, _TS(20), "r20", 20.0)],
+        _R_SCHEMA,
+    )
+    out = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            left, right, ["k"], "ts", ["rid", "v"], direction="nearest"
+        ).collect()
+    }
+    assert out == {"a": "r3", "b": "r10", "c": "r10", "d": None}
+
+
+def test_direction_validation(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, _TS(4), "a")], _L_SCHEMA)
+    right = spark.createDataFrame([(1, _TS(3), "r", 1.0)], _R_SCHEMA)
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "ts", ["rid"], direction="sideways")
+
+
+def test_nearest_single_exchange(spark):
+    """nearest computes two window specs but must plan exactly ONE
+    Exchange (both windows share the key-hash partitioning)."""
+    left = spark.createDataFrame([(1, _TS(4), "a")], _L_SCHEMA)
+    right = spark.createDataFrame([(1, _TS(3), "r", 1.0)], _R_SCHEMA)
+    plan = (
+        asof_join(left, right, ["k"], "ts", ["rid"], direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
