@@ -1365,6 +1365,24 @@ def q_session_counts(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_pivot_counts(spark, sf_dir):
+    """Pivot (wide confusion-matrix shape, reference 01_dff_model.py:503-507
+    rendered as columns): docs per (lang, source) with explicit pivot
+    values so the schema is static; empty cells coalesce to 0 to match the
+    conditional-aggregation oracle."""
+    d = _t(spark, sf_dir, "documents")
+    srcs = ["src0", "src1", "src2", "src3"]
+    wide = (
+        d.where(F.col("source").isin(srcs))
+        .groupBy("lang")
+        .pivot("source", srcs)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "lang", *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in srcs]
+    )
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment by content hash
     (dff/sampling.py::assign_splits): every doc gets exactly one label,
@@ -1514,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_violations": q_heavy_hitters_violations,
         "stratified_sample": q_stratified_sample,
         "split_assignment": q_split_assignment,
+        "pivot_counts": q_pivot_counts,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
@@ -1938,6 +1957,16 @@ def _oracle_sql_base() -> dict[str, str]:
                   / 1152921504606846976.0
                 < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
                             WHEN 'zh' THEN 0.75 ELSE 0.5 END
+        """,
+        "pivot_counts": """
+            SELECT lang,
+                   sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
+                   sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
+                   sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
+                   sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
+            GROUP BY lang
         """,
         "split_assignment": """
             SELECT doc_id,
