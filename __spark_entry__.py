@@ -743,6 +743,28 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
 
 
+def q_ivf_incremental_full_probe(spark, sf_dir):
+    """Incremental IVF adds (IvfIndex.add, VERDICT-style invariant): build
+    the index on HALF the vectors, add the other half against the frozen
+    centroids, then full-probe — the result must be the EXACT brute-force
+    top-k over the WHOLE table (same oracle as ``ivf_full_probe``): every
+    added item lands in exactly one probed cell, so incremental assignment
+    cannot lose or duplicate candidates."""
+    from dff.similarity import build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.xxhash64("vec_id") % 2 == 0)
+    new = emb.where(F.xxhash64("vec_id") % 2 != 0)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(old, n_centroids=16).add(new)
+    out = index.query(q, k=5, nprobe=16)
+    return out.select(
+        "query_id", "item_id", F.round("cosine", 4).alias("cosine_r"), "rank"
+    )
+
+
 def q_ivf_full_probe(spark, sf_dir):
     """IVF with nprobe = n_centroids probes EVERY cell, so it must return
     the EXACT cosine top-k — each item lives in exactly one cell, and the
@@ -1365,6 +1387,23 @@ def q_session_counts(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_correlation_stats(spark, sf_dir):
+    """Bivariate aggregates (corr / covar) — the fitted-stats family
+    (SURVEY §2.4) extended to column relationships; rounded through
+    decimal(20,10) so the two engines' different summation orders cannot
+    flip the last printed digit."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dec(c, nd):
+        return F.round(c.cast("decimal(20,10)"), nd).cast("double")
+
+    return li.agg(
+        dec(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        dec(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        dec(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+    )
+
+
 def q_pivot_counts(spark, sf_dir):
     """Pivot (wide confusion-matrix shape, reference 01_dff_model.py:503-507
     rendered as columns): docs per (lang, source) with explicit pivot
@@ -1521,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_violations": q_incremental_dedup_violations,
         "simhash_precision_violations": q_simhash_precision_violations,
         "ivf_full_probe": q_ivf_full_probe,
+        "ivf_incremental_full_probe": q_ivf_incremental_full_probe,
         "ivf_consistency_violations": q_ivf_consistency_violations,
         "embedding_near_dups": q_embedding_near_dups,
         "stream_window_counts": q_stream_window_counts,
@@ -1533,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "split_assignment": q_split_assignment,
         "pivot_counts": q_pivot_counts,
+        "correlation_stats": q_correlation_stats,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
@@ -1958,6 +1999,15 @@ def _oracle_sql_base() -> dict[str, str]:
                 < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
                             WHEN 'zh' THEN 0.75 ELSE 0.5 END
         """,
+        "correlation_stats": """
+            SELECT CAST(round(CAST(corr(l_quantity, l_extendedprice)
+                               AS DECIMAL(20,10)), 6) AS DOUBLE) AS corr_qty_price,
+                   CAST(round(CAST(covar_samp(l_quantity, l_extendedprice)
+                               AS DECIMAL(20,10)), 4) AS DOUBLE) AS covar_s,
+                   CAST(round(CAST(covar_pop(l_quantity, l_extendedprice)
+                               AS DECIMAL(20,10)), 4) AS DOUBLE) AS covar_p
+            FROM lineitem
+        """,
         "pivot_counts": """
             SELECT lang,
                    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
@@ -2171,6 +2221,19 @@ def _oracle_sql_base() -> dict[str, str]:
         # full-probe IVF == exact brute force (every cell probed), so the
         # ann_bruteforce oracle applies verbatim
         "ivf_full_probe": """
+            SELECT query_id, item_id, round(cosine, 4) AS cosine_r, rank FROM (
+                SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+                       list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])) AS cosine,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+                                                                          CAST(q.embedding AS DOUBLE[])) DESC,
+                                                   i.vec_id ASC) AS rank
+                FROM embeddings i CROSS JOIN
+                     (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
+            WHERE rank <= 5
+        """,
+        "ivf_incremental_full_probe": """
             SELECT query_id, item_id, round(cosine, 4) AS cosine_r, rank FROM (
                 SELECT q.vec_id AS query_id, i.vec_id AS item_id,
                        list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),

@@ -160,3 +160,36 @@ def test_brute_force_all_null_queries_returns_empty(spark):
     out = brute_force_topk(items, q, k=3)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "item_id", "cosine", "rank"}
+
+
+def test_ivf_incremental_add_matches_rebuild_full_probe(spark, tmp_path):
+    """IvfIndex.add (incremental, frozen centroids) must return the exact
+    brute-force top-k under full probe — same invariant as the one-shot
+    build — and IvfIndex.append must make a reloaded index see the added
+    batch."""
+    from dff.similarity import IvfIndex, build_ivf_index, ivf_topk
+
+    items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = items.where(F.xxhash64("vec_id") % 2 == 0)
+    new = items.where(F.xxhash64("vec_id") % 2 != 0)
+    queries = items.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    incr = build_ivf_index(old, n_centroids=8).add(new)
+    got = sorted(map(tuple, incr.query(queries, k=5, nprobe=8).collect()))
+    want = sorted(
+        map(tuple, ivf_topk(items, queries, k=5, n_centroids=8, nprobe=8).collect())
+    )
+    # full probe is exact on both paths, so ranks/ids/cosines must agree
+    # even though the two indexes trained on different samples
+    assert [t[:2] for t in got] == [t[:2] for t in want]
+
+    # on-disk append: reloaded index covers old + new
+    base = build_ivf_index(old, n_centroids=8)
+    base.save(str(tmp_path / "ivf"))
+    base.append(new, str(tmp_path / "ivf"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+    assert loaded.assigned.count() == items.count()
+    disk = sorted(map(tuple, loaded.query(queries, k=5, nprobe=8).collect()))
+    assert [t[:2] for t in disk] == [t[:2] for t in got]
