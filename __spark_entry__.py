@@ -1387,6 +1387,65 @@ def q_session_counts(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_unpivot_measures(spark, sf_dir):
+    """Unpivot (wide->long, the inverse of ``pivot_counts``): per-flag
+    aggregate measures melted into (flag, measure, value) rows via
+    ``DataFrame.unpivot``; the oracle replays it as a UNION ALL (the
+    portable relational form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_disc", "n_rows"],
+        "measure", "value",
+    )
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Data-derived anomaly constraint (dff/outliers.py:zscore_outliers):
+    events whose value is >3 sample standard deviations from the mean OF
+    ITS event_type.  Plan: one algebraic agg (6 groups) broadcast-joined
+    back — the fact table never shuffles.  z is rounded through
+    decimal(28,12) so the engines' different summation orders in mean/std
+    cannot flip the printed digits."""
+    from dff.outliers import zscore_outliers
+
+    e = _t(spark, sf_dir, "events")
+    out = zscore_outliers(e, "value", ["event_type"], threshold=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("zscore").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("z"),
+    )
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outliers (dff/outliers.py:iqr_outliers, exact-percentile
+    realization; the 100 TB path swaps in the mergeable t-digest with
+    identical plan shape — sketch-only shuffle, broadcast fences)."""
+    from dff.outliers import iqr_outliers
+
+    e = _t(spark, sf_dir, "events")
+    out = iqr_outliers(e, "value", ["event_type"], k=1.5, exact=True)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("fence_lo").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("lo"),
+        F.round(F.col("fence_hi").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("hi"),
+    )
+
+
 def q_correlation_stats(spark, sf_dir):
     """Bivariate aggregates (corr / covar) — the fitted-stats family
     (SURVEY §2.4) extended to column relationships; rounded through
@@ -1574,6 +1633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": q_split_assignment,
         "pivot_counts": q_pivot_counts,
         "correlation_stats": q_correlation_stats,
+        "unpivot_measures": q_unpivot_measures,
+        "zscore_outliers": q_zscore_outliers,
+        "iqr_outliers": q_iqr_outliers,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
@@ -1998,6 +2060,45 @@ def _oracle_sql_base() -> dict[str, str]:
                   / 1152921504606846976.0
                 < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
                             WHEN 'zh' THEN 0.75 ELSE 0.5 END
+        """,
+        "zscore_outliers": """
+            WITH z AS (
+              SELECT event_id, event_type, value,
+                     (value - avg(value) OVER (PARTITION BY event_type))
+                       / stddev_samp(value) OVER (PARTITION BY event_type)
+                       AS zraw
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_id, event_type, value,
+                   CAST(round(CAST(zraw AS DECIMAL(28,12)), 6) AS DOUBLE) AS z
+            FROM z WHERE abs(zraw) > 3.0
+        """,
+        "iqr_outliers": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   CAST(round(CAST(q1 - 1.5*(q3 - q1) AS DECIMAL(28,12)), 6)
+                        AS DOUBLE) AS lo,
+                   CAST(round(CAST(q3 + 1.5*(q3 - q1) AS DECIMAL(28,12)), 6)
+                        AS DOUBLE) AS hi
+            FROM events e JOIN b USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND (e.value < q1 - 1.5*(q3 - q1) OR e.value > q3 + 1.5*(q3 - q1))
+        """,
+        "unpivot_measures": """
+            WITH wide AS (
+              SELECT l_returnflag,
+                     round(sum(l_quantity), 4) AS sum_qty,
+                     round(sum(l_discount), 4) AS sum_disc,
+                     CAST(count(*) AS DOUBLE) AS n_rows
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'n_rows', n_rows FROM wide
         """,
         "correlation_stats": """
             SELECT CAST(round(CAST(corr(l_quantity, l_extendedprice)

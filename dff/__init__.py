@@ -12,7 +12,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.stats``      one-pass, skew-aware (salted) per-column statistics.
 - ``dff.uniqueness`` hash-partitioned duplicate detection.
 - ``dff.referential`` broadcast left-anti/semi referential checks.
-- ``dff.drift``      PSI + two-sample KS distribution drift vs a baseline snapshot.
+- ``dff.drift``      PSI + binned KS + Jensen-Shannon drift vs a baseline snapshot
+                     (array-HOF Catalyst expressions, one shuffle total).
 - ``dff.checkpoint`` per-partition lineage + resume planning.
 - ``dff.runner``     orchestration: validate -> verdicts/violations/metrics,
                      per-row multi-constraint attribution.
@@ -20,7 +21,7 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.textops``    language-ID, quality scoring, token counting, fingerprinting.
 - ``dff.dedup``      exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding dedup.
 - ``dff.similarity`` brute-force and LSH/IVF approximate nearest-neighbor search,
-                     persistable cell-partitioned IVF index.
+                     persistable cell-partitioned IVF index with incremental adds.
 - ``dff.asof``       as-of join (plain + skew-aware coarse-bucket realization).
 - ``dff.rangejoin``  binned point-in-interval (inner/left) + interval-overlap joins.
 - ``dff.streaming``  foreachBatch validation, watermarked window aggs, event-time
@@ -37,6 +38,11 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      overlap vs a held-out eval set.
 - ``dff.model``      distributed GBT scorer (train/CV/AUC) + DAG integration.
 - ``dff.multimodal`` binary media columns: schema + Arrow-batched decode plumbing.
+- ``dff.incremental`` persisted MinHash store: probe/ingest new batches without
+                     re-LSH-ing the corpus; streaming ingest closure.
+- ``dff.maintenance`` small-file compaction with crash-safe staged swap.
+- ``dff.outliers``   data-derived anomaly constraints: per-group z-score and
+                     IQR/Tukey fences (exact or t-digest), broadcast bounds.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python

@@ -1,0 +1,152 @@
+"""Per-group statistical outlier detection — data-derived constraints.
+
+The reference's rule DAG flags rows by STATIC thresholds baked into the DMN
+ruleset (/root/reference/DFF_Ruleset.dmn predicate strings such as
+``DISTANCE_FROM_HOME > 50``, re-expressed in dff/compiler.py).  A validation
+engine at 10^12 rows also needs DATA-DERIVED thresholds: "flag rows whose
+value is anomalous *for its group*" where the group's normal range is
+computed from the data itself.  Two standard detectors:
+
+- **z-score** (:func:`zscore_outliers`): per-group mean/std in ONE algebraic
+  aggregation (map-side combine), the tiny bounds table broadcast-joins back
+  onto the fact table — which therefore NEVER shuffles.  Exact.
+- **IQR / Tukey fences** (:func:`iqr_outliers`): per-group Q1/Q3 either
+  exact (``F.percentile`` — per-group sort, the small-data / oracle-gate
+  path) or via the mergeable t-digest of :mod:`dff.tdigest` (sketch-only
+  shuffle, rank error <= eps — the 100 TB path; at a trillion rows an exact
+  per-group percentile is a full sort of every group, the digest is a
+  map-side pass plus a kilobyte merge).
+
+Both plans are ``fact scan -> broadcast hash join -> filter``: the only
+exchange carries one row per group (or per partitionxgroup sketch), never
+fact rows.  Skewed groups cost the same as uniform ones because the fact
+side is map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tdigest import DEFAULT_DELTA, tdigest_quantiles
+
+__all__ = ["zscore_outliers", "iqr_outliers", "group_bounds_iqr"]
+
+
+def _bounds_join(df: DataFrame, bounds: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Attach a per-group bounds row to every fact row without shuffling
+    the fact side: broadcast inner join (ungrouped -> 1-row crossJoin)."""
+    if group_cols:
+        return df.join(F.broadcast(bounds), on=group_cols, how="inner")
+    return df.crossJoin(F.broadcast(bounds))
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose ``value_col`` is more than ``threshold`` sample standard
+    deviations from its group mean.
+
+    Output: the input rows + a ``zscore`` column.  Groups with fewer than
+    two rows or zero variance produce no outliers (z undefined).  NULL
+    values are never outliers.
+    """
+    group_cols = group_cols or []
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    bounds = gb.agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sigma"),
+    )
+    joined = _bounds_join(df, bounds, group_cols)
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sigma")
+    return (
+        joined.where(
+            F.col("__sigma").isNotNull()
+            & (F.col("__sigma") > F.lit(0.0))
+            & F.col(value_col).isNotNull()
+            & (F.abs(z) > F.lit(float(threshold)))
+        )
+        .withColumn("zscore", z)
+        .drop("__mu", "__sigma")
+    )
+
+
+def group_bounds_iqr(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+    exact: bool = True,
+    delta: int = DEFAULT_DELTA,
+) -> DataFrame:
+    """Per-group Tukey fences ``[q1 - k*iqr, q3 + k*iqr]``.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile`` (a
+    per-group sort — fine for bounded group counts / the oracle gate, and
+    bit-compatible with DuckDB's ``quantile_cont``).  ``exact=False`` routes
+    through :func:`dff.tdigest.tdigest_quantiles`: the fact table is scanned
+    map-only and only kilobyte sketches shuffle — the path that survives
+    10^12 rows with skewed groups.
+    """
+    group_cols = group_cols or []
+    if exact:
+        gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+        bounds = gb.agg(
+            F.percentile(value_col, F.lit(0.25)).alias("__q1"),
+            F.percentile(value_col, F.lit(0.75)).alias("__q3"),
+        )
+    else:
+        if len(group_cols) > 1:
+            raise ValueError("approx IQR supports at most one group column")
+        key = group_cols[0] if group_cols else None
+        qs = tdigest_quantiles(df, value_col, qs=(0.25, 0.75), key_col=key, delta=delta)
+        bounds = qs.groupBy("group_key").pivot("q", [0.25, 0.75]).sum("value")
+        bounds = bounds.select(
+            *(
+                # group_key is stringified in the sketch rows; cast back to
+                # the fact column's type so the broadcast join is exact
+                [
+                    F.col("group_key")
+                    .cast(df.schema[group_cols[0]].dataType)
+                    .alias(group_cols[0])
+                ]
+                if group_cols
+                else []
+            ),
+            F.col("`0.25`").alias("__q1"),
+            F.col("`0.75`").alias("__q3"),
+        )
+    iqr = F.col("__q3") - F.col("__q1")
+    return bounds.select(
+        *group_cols,
+        (F.col("__q1") - F.lit(float(k)) * iqr).alias("__lo"),
+        (F.col("__q3") + F.lit(float(k)) * iqr).alias("__hi"),
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+    exact: bool = True,
+    delta: int = DEFAULT_DELTA,
+) -> DataFrame:
+    """Rows strictly outside their group's Tukey fences.
+
+    Output: the input rows + ``fence_lo`` / ``fence_hi``.  Rows exactly ON
+    a fence are inliers (strict comparison).  NULL values are never
+    outliers.
+    """
+    group_cols = group_cols or []
+    bounds = group_bounds_iqr(df, value_col, group_cols, k, exact, delta)
+    joined = _bounds_join(df, bounds, group_cols)
+    v = F.col(value_col)
+    return (
+        joined.where(v.isNotNull() & ((v < F.col("__lo")) | (v > F.col("__hi"))))
+        .withColumn("fence_lo", F.col("__lo"))
+        .withColumn("fence_hi", F.col("__hi"))
+        .drop("__lo", "__hi")
+    )

@@ -48,8 +48,10 @@ def _canon(v):
 
 def _rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr: a total order even when outer-join NULLs mix None with
+    # values in the same column (None < int raises TypeError otherwise)
     return sorted(
-        tuple(_canon(row[i]) for i in order) for row in rows
+        (tuple(_canon(row[i]) for i in order) for row in rows), key=repr
     ), [cols[i] for i in order]
 
 
