@@ -386,6 +386,43 @@ def q_dup_keys(spark, sf_dir):
     return duplicate_key_counts(o, ["o_custkey"])
 
 
+def q_rolling_aggs(spark, sf_dir):
+    """Window FRAMES over event time (the reference's per-account running
+    aggregates generalized): per-user cumulative sum, trailing-3-row moving
+    average, and a RANGE frame (trailing 10 minutes by event time, peers
+    included).  Pure Catalyst — one hash Exchange on user_id feeds all
+    three frames (same partitioning + ordering, one Window operator chain,
+    no extra shuffle per frame).  Sums rounded through decimal so the two
+    engines' different in-frame addition orders cannot flip a digit."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    order = [F.col("ts"), F.col("event_id")]
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    # RANGE frames need a single numeric ordering key: epoch MICROseconds
+    # (integer — second-truncation would move sub-second edges differently
+    # than the oracle's)
+    w_rng = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+
+    def dec(c, nd=6):
+        return F.round(c.cast("decimal(28,10)"), nd).cast("double")
+
+    return e.select(
+        "user_id",
+        "event_id",
+        dec(F.sum("value").over(w_cum)).alias("cum_value"),
+        dec(F.avg("value").over(w_mov)).alias("mov_avg3"),
+        dec(F.sum("value").over(w_rng)).alias("sum_10min"),
+    )
+
+
 def q_event_gaps(spark, sf_dir):
     """Window lag: seconds since the user's previous event."""
     e = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
@@ -568,6 +605,50 @@ def q_sha256(spark, sf_dir):
     """Per-row content hash — the engine's per-row invariant (input_hint)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (dff/relevance.py:tfidf) — lexical
+    relevance for corpus search / quality filtering.  idf operands are
+    integer counts, so the double idf is bit-identical across engines and
+    the rank ordering cannot diverge; ties broken by term."""
+    from dff.relevance import tfidf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    scored = tfidf(docs)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "rank",
+            F.round(F.col("tfidf").cast("decimal(28,12)"), 6)
+            .cast("double")
+            .alias("score"),
+        )
+    )
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 document ranking for a fixed 3-term query
+    (dff/relevance.py:bm25_scores).  The only data-sized stage is the
+    (doc, term) tf aggregation; query-term df and corpus constants
+    broadcast."""
+    from dff.relevance import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["spark", "join", "vector"])
+    return out.select(
+        "doc_id",
+        F.round(F.col("bm25").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("bm25"),
+        "matched_terms",
+    )
 
 
 def q_token_counts(spark, sf_dir):
@@ -1599,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_rollup": q_monthly_rollup,
         "dup_keys": q_dup_keys,
         "event_gaps": q_event_gaps,
+        "rolling_aggs": q_rolling_aggs,
         "asof_join": q_asof_join,
         "asof_join_skewed": q_asof_join_skewed,
         "asof_join_forward": q_asof_join_forward,
@@ -1607,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": q_interval_overlap_join,
         "sha256": q_sha256,
         "token_counts": q_token_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_scores": q_bm25_scores,
         "source_profile": q_source_profile,
         "psi_drift": q_psi_drift,
         "js_drift": q_js_drift,
@@ -1865,6 +1949,22 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_custkey, count(*) AS dup_count FROM orders
             GROUP BY o_custkey HAVING count(*) > 1
         """,
+        "rolling_aggs": """
+            SELECT user_id, event_id,
+                   CAST(round(CAST(sum(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(28,10)), 6) AS DOUBLE) AS cum_value,
+                   CAST(round(CAST(avg(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(28,10)), 6) AS DOUBLE) AS mov_avg3,
+                   CAST(round(CAST(sum(value) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(28,10)), 6) AS DOUBLE) AS sum_10min
+            FROM events WHERE user_id < 30
+        """,
         "event_gaps": """
             SELECT user_id, event_id,
                    epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
@@ -2060,6 +2160,53 @@ def _oracle_sql_base() -> dict[str, str]:
                   / 1152921504606846976.0
                 < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
                             WHEN 'zh' THEN 0.75 ELSE 0.5 END
+        """,
+        "tfidf_top_terms": """
+            WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+')) AS term
+                    FROM docs)
+              WHERE term <> '' GROUP BY 1, 2),
+            n AS (SELECT count(*) AS n_docs FROM docs),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * (ln((n_docs + 1.0)/(df + 1.0)) + 1.0) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rank,
+                   CAST(round(CAST(tfidf AS DECIMAL(28,12)), 6) AS DOUBLE)
+                     AS score
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "bm25_scores": """
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+')) AS term
+                    FROM documents)
+              WHERE term <> '' GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+            consts AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            qtf AS (SELECT * FROM tf
+                    WHERE term IN ('join', 'spark', 'vector')),
+            qdf AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1)
+            SELECT q.doc_id,
+                   CAST(round(CAST(sum(
+                       ln(1.0 + (n - df + 0.5)/(df + 0.5))
+                       * (q.tf * (1.2 + 1.0))
+                         / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                     ) AS DECIMAL(28,12)), 6) AS DOUBLE) AS bm25,
+                   count(*) AS matched_terms
+            FROM qtf q JOIN qdf USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN consts
+            GROUP BY q.doc_id
         """,
         "zscore_outliers": """
             WITH z AS (

@@ -43,6 +43,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.maintenance`` small-file compaction with crash-safe staged swap.
 - ``dff.outliers``   data-derived anomaly constraints: per-group z-score and
                      IQR/Tukey fences (exact or t-digest), broadcast bounds.
+- ``dff.relevance``  TF-IDF + Okapi BM25 lexical relevance; tokens shuffle,
+                     text never does; query-term stats broadcast.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python

@@ -1,0 +1,120 @@
+"""TF-IDF / BM25 relevance scoring over a document corpus.
+
+A training-data pipeline ranks and filters documents by lexical relevance
+(query-anchored quality filtering, retrieval-based decontamination, corpus
+search).  This module computes the classical statistics with Catalyst only:
+
+- :func:`term_frequencies` — tokenize (JVM ``split``) + explode + count.
+  The ONE unavoidable heavy shuffle, on ``(doc, term)`` with map-side
+  combine; text itself never shuffles (only tokens do).
+- :func:`doc_frequencies` — per-term document counts: an aggregation over
+  the already-reduced tf rows, shuffling ``(term, 1)`` pairs.
+- :func:`tfidf` — smoothed idf ``ln((N+1)/(df+1)) + 1`` (sklearn
+  convention) joined back term-wise.  Vocabulary rows are tiny relative to
+  the corpus; AQE picks broadcast when it fits.
+- :func:`bm25_scores` — Okapi BM25 for a BOUNDED query-term set: the tf
+  table is filtered to the query terms FIRST (an ``isin`` that prunes
+  before any join), the per-term idf + corpus constants ride a literal map,
+  so scoring is one filtered aggregation — no join against the full
+  vocabulary, no second pass over text.
+
+At 10^12 docs: tf is ~tokens rows but reduces map-side; df is |vocab|;
+BM25's working set after the isin-filter is |query_terms| x |matching
+docs|.  Nothing driver-side except the <=32-term query descriptor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["term_frequencies", "doc_frequencies", "tfidf", "bm25_scores"]
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def term_frequencies(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """``(id, term, tf)`` — one row per distinct term per document."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), pattern)).alias("term"),
+    ).where(F.col("term") != "")
+    return toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_frequencies(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(term, df)`` — number of documents containing each term."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """``(id, term, tf, tfidf)`` with smoothed idf ``ln((N+1)/(df+1)) + 1``.
+
+    N is folded in as a scalar subquery (one COUNT agg, broadcast by
+    Catalyst) so the whole computation stays one lazy plan.
+    """
+    tf = term_frequencies(docs, id_col, text_col, pattern)
+    df_ = doc_frequencies(tf, id_col)
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    joined = tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return joined.select(
+        id_col, "term", "tf", (F.col("tf") * idf).alias("tfidf")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    pattern: str = TOKEN_SPLIT,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for ``query_terms``.
+
+    idf uses the standard ``ln(1 + (N - df + 0.5)/(df + 0.5))``.  Corpus
+    constants (N, avgdl) come from ONE aggregation over per-doc lengths;
+    per-query-term idf from the df rows of just those terms.  Both are
+    tiny and broadcast; the only data-sized stage is the tf aggregation.
+    Documents matching no query term are absent from the output.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    tf = term_frequencies(docs, id_col, text_col, pattern)
+    # per-doc length (total tokens) from tf itself — no second text scan
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+    consts = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    qtf = tf.where(F.col("term").isin(terms))
+    qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(consts))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum(idf * tf_part).alias("bm25"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
