@@ -1527,6 +1527,31 @@ def q_iqr_outliers(spark, sf_dir):
     )
 
 
+def q_zorder_roundtrip(spark, sf_dir):
+    """Z-order clustering (dff/layout.py) is a LAYOUT op — correctness is
+    exact row preservation, which this query asserts as content aggregates
+    over the re-read clustered copy (count, key sums, value checksum).
+    The scan-pruning benefit is measured in test_layout.py (multi-dim
+    min/max skipping vs a single-column sort)."""
+    import tempfile
+
+    from dff.layout import zorder_write
+
+    e = _t(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="dff-zorder-") + "/events"
+    zorder_write(e, ["user_id", "value"], out_dir, n_files=8)
+    z = spark.read.parquet(out_dir)
+    return z.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum("event_id").alias("sum_event"),
+        F.round(F.sum("value").cast("decimal(28,10)"), 3)
+        .cast("double")
+        .alias("sum_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 def q_correlation_stats(spark, sf_dir):
     """Bivariate aggregates (corr / covar) — the fitted-stats family
     (SURVEY §2.4) extended to column relationships; rounded through
@@ -1720,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": q_unpivot_measures,
         "zscore_outliers": q_zscore_outliers,
         "iqr_outliers": q_iqr_outliers,
+        "zorder_roundtrip": q_zorder_roundtrip,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
@@ -2160,6 +2186,15 @@ def _oracle_sql_base() -> dict[str, str]:
                   / 1152921504606846976.0
                 < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
                             WHEN 'zh' THEN 0.75 ELSE 0.5 END
+        """,
+        "zorder_roundtrip": """
+            SELECT count(*) AS n_rows,
+                   sum(user_id) AS sum_user,
+                   sum(event_id) AS sum_event,
+                   CAST(round(CAST(sum(value) AS DECIMAL(28,10)), 3)
+                        AS DOUBLE) AS sum_value,
+                   count(DISTINCT event_type) AS n_types
+            FROM events
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),

@@ -45,6 +45,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      IQR/Tukey fences (exact or t-digest), broadcast bounds.
 - ``dff.relevance``  TF-IDF + Okapi BM25 lexical relevance; tokens shuffle,
                      text never does; query-term stats broadcast.
+- ``dff.layout``     Z-order (Morton) clustering + per-file min/max skipping
+                     stats: multi-column scan pruning, pure Catalyst bit ops.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
