@@ -1422,6 +1422,58 @@ def q_row_attribution(spark, sf_dir):
     return runner.row_attribution(docs).select("doc_id", "constraint_id")
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join
+    (dff/streaming.py:interval_join_streams): views joined to the same
+    user's purchases within the following 2 hours, replayed with
+    availableNow and hash-checked against the equivalent static SQL join.
+    The generous watermark makes the bounded replay drop-free (eviction
+    behavior itself is pinned in tests/test_streaming.py)."""
+    from dff.streaming import interval_join_streams
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        src = _stream_dir(sf_dir)
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+        def _stream():
+            return (
+                spark.readStream.schema(schema)
+                .parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+
+        views = _stream().where(F.col("event_type") == "view").select(
+            "user_id", "event_id", "ts"
+        )
+        buys = _stream().where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        joined = interval_join_streams(
+            views, buys, ["user_id"],
+            lower="0 seconds", upper="2 hours",
+            watermark_delay="3650 days",
+        )
+        out = joined.select(
+            "user_id",
+            F.col("event_id_l").alias("view_id"),
+            F.col("event_id_r").alias("purchase_id"),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_interval_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+        return spark.table("stream_interval_join")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_session_counts(spark, sf_dir):
     """Event-time gap sessionization (dff/streaming.py:event_time_sessions)
     replayed deterministically with availableNow: sessions split where
@@ -1524,6 +1576,34 @@ def q_iqr_outliers(spark, sf_dir):
         F.round(F.col("fence_hi").cast("decimal(28,12)"), 6)
         .cast("double")
         .alias("hi"),
+    )
+
+
+def q_hll_rollup_violations(spark, sf_dir):
+    """Driver-checkable INVARIANT for the persisted-HLL rollup
+    (dff/hll.py): per-day sketches unioned per event_type must estimate
+    distinct users within 5% of the exact count (lgk=12 => ~1.6% rse; 5%
+    is > 3 sigma).  The merge path is exercised for real — sketches are
+    built per (type, day) and unioned down to type.  Violations returned;
+    expected empty."""
+    from dff.hll import estimate_distinct, hll_rollup, merge_rollup
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    daily = hll_rollup(e, "user_id", ["event_type", "day"])
+    est = estimate_distinct(merge_rollup(daily, ["event_type"]))
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .where(
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            > 0.05
+        )
+        .select("event_type", "approx_distinct", "exact_distinct")
     )
 
 
@@ -1733,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "stream_window_counts": q_stream_window_counts,
         "session_counts": q_session_counts,
+        "stream_interval_join": q_stream_interval_join,
         "row_attribution": q_row_attribution,
         "multimodal_bytes": q_multimodal_bytes,
         "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
@@ -1746,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "iqr_outliers": q_iqr_outliers,
         "zorder_roundtrip": q_zorder_roundtrip,
+        "hll_rollup_violations": q_hll_rollup_violations,
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
@@ -2186,6 +2268,20 @@ def _oracle_sql_base() -> dict[str, str]:
                   / 1152921504606846976.0
                 < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 1.0
                             WHEN 'zh' THEN 0.75 ELSE 0.5 END
+        """,
+        "stream_interval_join": """
+            SELECT a.user_id,
+                   a.event_id AS view_id,
+                   b.event_id AS purchase_id
+            FROM events a JOIN events b ON a.user_id = b.user_id
+            WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+        """,
+        "hll_rollup_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS event_type,
+                   CAST(NULL AS BIGINT) AS approx_distinct,
+                   CAST(NULL AS BIGINT) AS exact_distinct
+            WHERE 1 = 0
         """,
         "zorder_roundtrip": """
             SELECT count(*) AS n_rows,

@@ -47,6 +47,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      text never does; query-term stats broadcast.
 - ``dff.layout``     Z-order (Morton) clustering + per-file min/max skipping
                      stats: multi-column scan pruning, pure Catalyst bit ops.
+- ``dff.hll``        persisted mergeable HyperLogLog rollups (DataSketches):
+                     incremental distinct counts from kilobyte sketch rows.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python

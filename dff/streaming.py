@@ -192,6 +192,53 @@ def read_rollup(spark, out_path: str, key_cols: list[str]) -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events on the same key
+    whose event time falls in ``[left_ts + lower, left_ts + upper]``.
+
+    Both sides carry a watermark and the join condition bounds the two
+    event times against each other, which is exactly what lets Spark evict
+    buffered rows: state per side is bounded by ``watermark_delay`` +
+    the interval width, not by the stream length.  Without the time-range
+    conjunct the engine must buffer both streams forever — the classic
+    stream-join scale trap this helper makes unrepresentable.
+
+    Column collisions outside ``key_cols`` get ``suffixes``.  ``left_ts``
+    / ``right_ts`` must be TIMESTAMP (cast TIMESTAMP_NTZ upstream).
+    """
+    lsfx, rsfx = suffixes
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    shared = (set(lw.columns) & set(rw.columns)) - set(key_cols)
+    for c in shared:
+        lw = lw.withColumnRenamed(c, f"{c}{lsfx}")
+        rw = rw.withColumnRenamed(c, f"{c}{rsfx}")
+    lts = f"{left_ts}{lsfx}" if left_ts in shared else left_ts
+    rts = f"{right_ts}{rsfx}" if right_ts in shared else right_ts
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (lw[k] == rw[k])
+    cond = (
+        cond
+        & (F.col(rts) >= F.col(lts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {upper}"))
+    )
+    joined = lw.join(rw, cond, "inner")
+    for k in key_cols:  # keep one copy of each join key
+        joined = joined.drop(rw[k])
+    return joined
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

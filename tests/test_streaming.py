@@ -9,6 +9,7 @@ from dff.ruleset import parse_json
 from dff.runner import ValidationConfig, ValidationRunner
 from dff.sources import synthetic_source_files
 from dff.streaming import (
+    interval_join_streams,
     sessionize_events,
     validate_stream,
     windowed_violation_counts,
@@ -258,3 +259,58 @@ def test_incremental_rollup_exactly_once_on_retry(spark, tmp_path):
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("__day", "__batch_id").parquet(out)
     assert totals() == got  # replaced, not double-counted
+
+
+def test_interval_join_streams_matches_batch_join(spark, tmp_path):
+    """Stream-stream interval join == the static join on the same data."""
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_events(spark, lsrc, [(10, 0, 1, 1.0), (10, 30, 2, 2.0), (11, 0, 1, 3.0)])
+    _write_events(spark, rsrc, [(10, 20, 1, 9.0), (10, 40, 1, 8.0), (10, 45, 2, 7.0), (9, 50, 1, 6.0)])
+    ls = spark.readStream.schema(_EVENT_SCHEMA).parquet(lsrc)
+    rs = spark.readStream.schema(_EVENT_SCHEMA).parquet(rsrc)
+    joined = interval_join_streams(
+        ls, rs, ["user_id"], lower="0 seconds", upper="30 minutes",
+        watermark_delay="2 hours",
+    )
+    out: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["user_id"], r["v_l"], r["v_r"]) for r in out)
+    # static truth: user 1 10:00 -> 10:20 only; user 1 11:00 -> none in
+    # (11:00, 11:30]; 9:50 right row is BEFORE every left row; user 2
+    # 10:30 -> 10:45
+    lb = spark.read.parquet(lsrc)
+    rb = spark.read.parquet(rsrc)
+    want = sorted(
+        (r["user_id"], r["lv"], r["rv"])
+        for r in lb.alias("a").join(
+            rb.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 minutes")),
+        ).select(F.col("a.user_id"), F.col("a.v").alias("lv"), F.col("b.v").alias("rv")).collect()
+    )
+    assert got == want
+    assert (1, 1.0, 9.0) in got and (2, 2.0, 7.0) in got
+
+
+def test_interval_join_streams_state_is_bounded(spark, tmp_path):
+    """The time-range conjunct must be part of the join condition (that is
+    what lets the engine evict state); assert the plan carries the interval
+    bound, not a post-filter."""
+    lsrc, rsrc = str(tmp_path / "l2"), str(tmp_path / "r2")
+    _write_events(spark, lsrc, [(10, 0, 1, 1.0)])
+    _write_events(spark, rsrc, [(10, 5, 1, 2.0)])
+    ls = spark.readStream.schema(_EVENT_SCHEMA).parquet(lsrc)
+    rs = spark.readStream.schema(_EVENT_SCHEMA).parquet(rsrc)
+    joined = interval_join_streams(
+        ls, rs, ["user_id"], upper="10 minutes", watermark_delay="5 minutes"
+    )
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "watermark" in plan.lower(), plan
+    assert "INTERVAL" in plan or "interval" in plan, plan
