@@ -1537,6 +1537,28 @@ def q_unpivot_measures(spark, sf_dir):
     )
 
 
+def q_ntile_buckets(spark, sf_dir):
+    """Quantile binning (feature engineering / equi-depth histogram):
+    ntile(4) + percent_rank per event_type over value, then bucket
+    occupancy counts.  Deterministic tie-break on event_id."""
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = e.select(
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return binned.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("pr").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("min_pr"),
+        F.round(F.max("pr").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("max_pr"),
+    )
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Data-derived anomaly constraint (dff/outliers.py:zscore_outliers):
     events whose value is >3 sample standard deviations from the mean OF
@@ -1824,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "correlation_stats": q_correlation_stats,
         "unpivot_measures": q_unpivot_measures,
+        "ntile_buckets": q_ntile_buckets,
         "zscore_outliers": q_zscore_outliers,
         "iqr_outliers": q_iqr_outliers,
         "zorder_roundtrip": q_zorder_roundtrip,
@@ -2338,6 +2361,21 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM qtf q JOIN qdf USING (term) JOIN dl USING (doc_id)
                  CROSS JOIN consts
             GROUP BY q.doc_id
+        """,
+        "ntile_buckets": """
+            WITH binned AS (
+              SELECT event_type,
+                     ntile(4) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS quartile,
+                     percent_rank() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS pr
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_type, quartile, count(*) AS n,
+                   CAST(round(CAST(min(pr) AS DECIMAL(28,12)), 6) AS DOUBLE)
+                     AS min_pr,
+                   CAST(round(CAST(max(pr) AS DECIMAL(28,12)), 6) AS DOUBLE)
+                     AS max_pr
+            FROM binned GROUP BY event_type, quartile
         """,
         "zscore_outliers": """
             WITH z AS (

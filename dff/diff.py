@@ -83,3 +83,42 @@ def snapshot_diff(
         j.select(*out_keys, change.alias("change"))
         .where(F.col("change").isNotNull())
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Column-level drift between two snapshots' SCHEMAS (no data read).
+
+    The row diff above assumes both sides share a schema; at ingest time
+    the first failure mode is upstream silently adding, dropping, or
+    retyping a column.  Returns one record per drifted column:
+    ``{"column", "change" ('added'|'removed'|'retyped'), "old_type",
+    "new_type"}`` — driver-side metadata only, O(cols), safe to run before
+    any job touches data.  Nullability relaxation (nullable False -> True)
+    is reported as ``retyped`` too: writers downstream may rely on it.
+    """
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(o) | set(n)):
+        if name not in o:
+            out.append(
+                {"column": name, "change": "added", "old_type": None,
+                 "new_type": n[name].dataType.simpleString()}
+            )
+        elif name not in n:
+            out.append(
+                {"column": name, "change": "removed",
+                 "old_type": o[name].dataType.simpleString(), "new_type": None}
+            )
+        elif (
+            o[name].dataType != n[name].dataType
+            or o[name].nullable != n[name].nullable
+        ):
+            out.append(
+                {"column": name, "change": "retyped",
+                 "old_type": f"{o[name].dataType.simpleString()}"
+                             f"{'' if o[name].nullable else ' not null'}",
+                 "new_type": f"{n[name].dataType.simpleString()}"
+                             f"{'' if n[name].nullable else ' not null'}"}
+            )
+    return out

@@ -82,3 +82,19 @@ def test_diff_shuffles_keys_and_sig_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "content" not in line and "lang" not in line, line
+
+
+def test_schema_drift_detects_add_remove_retype(spark):
+    from dff.diff import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, v double")
+    new = spark.createDataFrame([(1, "a", 2)], "id int, name string, v int").withColumn(
+        "extra", F.lit(True)
+    )
+    drift = {d["column"]: d for d in schema_drift(old, new)}
+    assert drift["extra"]["change"] == "added"
+    assert drift["v"]["change"] == "retyped"
+    assert "double" in drift["v"]["old_type"] and "int" in drift["v"]["new_type"]
+    assert schema_drift(old, old) == []
+    gone = schema_drift(new, old)
+    assert {d["change"] for d in gone if d["column"] == "extra"} == {"removed"}
