@@ -1654,6 +1654,50 @@ def q_zorder_roundtrip(spark, sf_dir):
     )
 
 
+def q_winsorized_values(spark, sf_dir):
+    """Quantile clipping (dff/outliers.py:winsorize) — the repair twin of
+    the outlier detectors: values clipped to per-type [p5, p95].  Exact
+    interpolated percentiles match DuckDB quantile_cont bit-for-bit."""
+    from dff.outliers import winsorize
+
+    e = _t(spark, sf_dir, "events")
+    out = winsorize(e, "value", ["event_type"], p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value_winsorized").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("vw"),
+    )
+
+
+def q_chisq_drift(spark, sf_dir):
+    """Pearson chi-square drift (dff/drift.py:chisq_drift): the
+    even-event_id half of events is the baseline snapshot, the odd half is
+    'current'; the statistic answers whether the event_type mix shifted
+    beyond sampling noise.  The 5-row baseline count collect is the same
+    bounded driver-side footprint as a persisted snapshot read."""
+    from dff.drift import chisq_drift
+
+    e = _t(spark, sf_dir, "events")
+    base = {
+        r["event_type"]: r["n"]
+        for r in e.where(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cur = e.where(F.col("event_id") % 2 == 1)
+    out = chisq_drift(cur, "event_type", base)
+    return out.select(
+        F.round(F.col("chi2").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("chi2"),
+        "dof",
+        "n",
+    )
+
+
 def q_correlation_stats(spark, sf_dir):
     """Bivariate aggregates (corr / covar) — the fitted-stats family
     (SURVEY §2.4) extended to column relationships; rounded through
@@ -1847,6 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_stats": q_correlation_stats,
         "unpivot_measures": q_unpivot_measures,
         "ntile_buckets": q_ntile_buckets,
+        "winsorized_values": q_winsorized_values,
+        "chisq_drift": q_chisq_drift,
         "zscore_outliers": q_zscore_outliers,
         "iqr_outliers": q_iqr_outliers,
         "zorder_roundtrip": q_zorder_roundtrip,
@@ -2361,6 +2407,38 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM qtf q JOIN qdf USING (term) JOIN dl USING (doc_id)
                  CROSS JOIN consts
             GROUP BY q.doc_id
+        """,
+        "winsorized_values": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE CAST(round(CAST(least(greatest(e.value, lo), hi)
+                                             AS DECIMAL(28,12)), 6) AS DOUBLE)
+                   END AS vw
+            FROM events e JOIN b USING (event_type)
+        """,
+        "chisq_drift": """
+            WITH a AS (
+              SELECT event_type AS cat, count(*) AS a
+              FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+            e AS (
+              SELECT event_type AS cat, count(*) AS e
+              FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            j AS (
+              SELECT CAST(coalesce(a.a, 0) AS DOUBLE) AS a,
+                     CAST(coalesce(e.e, 0) AS DOUBLE) AS e
+              FROM a FULL OUTER JOIN e USING (cat)),
+            t AS (SELECT sum(a) AS na, sum(e) AS ne,
+                         sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS k FROM j)
+            SELECT CAST(round(CAST(sum(pow(a - e * na / ne, 2) / (e * na / ne))
+                                   AS DECIMAL(28,12)), 6) AS DOUBLE) AS chi2,
+                   CAST(max(k) - 1 AS BIGINT) AS dof,
+                   CAST(max(na) AS BIGINT) AS n
+            FROM j CROSS JOIN t WHERE e > 0
         """,
         "ntile_buckets": """
             WITH binned AS (

@@ -152,6 +152,73 @@ def js_divergence(
     return float(0.5 * np.sum(p * np.log(p / m)) + 0.5 * np.sum(q * np.log(q / m)))
 
 
+def chi_square(expected: np.ndarray, actual: np.ndarray) -> float:
+    """Pearson chi-square statistic of ``actual`` counts against the
+    ``expected`` distribution (baseline counts rescaled to actual's total).
+
+    Complements PSI/JS: chi-square grows with N, so with a chosen
+    significance cut it answers "is this drift larger than sampling noise"
+    rather than "how big is the drift".  Zero-expected buckets are skipped
+    (they carry no baseline evidence); zero-ACTUAL buckets contribute their
+    full rescaled expectation, as the textbook statistic requires."""
+    e = expected.astype(float)
+    a = actual.astype(float)
+    if e.sum() <= 0 or a.sum() <= 0:
+        return 0.0
+    scaled = e * (a.sum() / e.sum())
+    mask = scaled > 0
+    return float(np.sum((a[mask] - scaled[mask]) ** 2 / scaled[mask]))
+
+
+def chisq_drift(
+    df: DataFrame, col: str, baseline_counts: dict[str, int]
+) -> DataFrame:
+    """Distributed chi-square of ``df[col]``'s category counts vs a
+    baseline — one row ``(chi2, dof, n)``.
+
+    One groupBy over the data (map-side combined); the baseline is a tiny
+    literal frame broadcast into a full outer join so categories MISSING
+    from the new data still contribute their expectation (a vanished
+    category is drift, not a free pass).  Categories absent from the
+    baseline are skipped, mirroring :func:`chi_square`.
+    """
+    spark = df.sparkSession
+    actual = df.groupBy(F.col(col).alias("__cat")).agg(
+        F.count(F.lit(1)).alias("__a")
+    )
+    base = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(baseline_counts.items())],
+        "__cat string, __e long",
+    )
+    j = actual.join(F.broadcast(base), "__cat", "full_outer").select(
+        F.coalesce(F.col("__a"), F.lit(0)).cast("double").alias("a"),
+        F.coalesce(F.col("__e"), F.lit(0)).cast("double").alias("e"),
+    )
+    totals = j.agg(
+        F.sum("a").alias("na"), F.sum("e").alias("ne"),
+        F.sum(F.when(F.col("e") > 0, 1).otherwise(0)).alias("k"),
+    )
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .where(F.col("e") > 0)
+        .select(
+            (
+                F.pow(F.col("a") - F.col("e") * F.col("na") / F.col("ne"), 2)
+                / (F.col("e") * F.col("na") / F.col("ne"))
+            ).alias("term"),
+            "k",
+            "na",
+        )
+        .groupBy("k", "na")
+        .agg(F.sum("term").alias("chi2"))
+        .select(
+            F.col("chi2"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+            F.col("na").cast("long").alias("n"),
+        )
+    )
+
+
 def ks_binned(expected: np.ndarray, actual: np.ndarray) -> float:
     """Two-sample KS statistic from binned CDFs (upper bound on exact KS
     error is one bin of probability mass)."""

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from .tdigest import DEFAULT_DELTA, tdigest_quantiles
 
-__all__ = ["zscore_outliers", "iqr_outliers", "group_bounds_iqr"]
+__all__ = [
+    "zscore_outliers",
+    "iqr_outliers",
+    "group_bounds_iqr",
+    "winsorize",
+]
 
 
 def _bounds_join(df: DataFrame, bounds: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -149,4 +154,63 @@ def iqr_outliers(
         .withColumn("fence_lo", F.col("__lo"))
         .withColumn("fence_hi", F.col("__hi"))
         .drop("__lo", "__hi")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    exact: bool = True,
+    delta: int = DEFAULT_DELTA,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [p_lo, p_hi] quantiles — the
+    REPAIR twin of the detectors above (training pipelines usually clip
+    tail values rather than drop rows).
+
+    Adds ``{value_col}_winsorized``; NULLs pass through as NULL.  Plan
+    shape is identical to the detectors: quantile bounds (exact
+    ``percentile`` or t-digest sketches) broadcast back onto a map-only
+    fact side.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})")
+    group_cols = group_cols or []
+    if exact:
+        gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+        bounds = gb.agg(
+            F.percentile(value_col, F.lit(p_lo)).alias("__lo"),
+            F.percentile(value_col, F.lit(p_hi)).alias("__hi"),
+        )
+    else:
+        if len(group_cols) > 1:
+            raise ValueError("approx winsorize supports at most one group column")
+        key = group_cols[0] if group_cols else None
+        qs = tdigest_quantiles(df, value_col, qs=(p_lo, p_hi), key_col=key, delta=delta)
+        bounds = qs.groupBy("group_key").pivot("q", [p_lo, p_hi]).sum("value")
+        key_sel = (
+            [
+                F.col("group_key")
+                .cast(df.schema[group_cols[0]].dataType)
+                .alias(group_cols[0])
+            ]
+            if group_cols
+            else []
+        )
+        bounds = bounds.select(
+            *key_sel,
+            F.col(f"`{p_lo}`").alias("__lo"),
+            F.col(f"`{p_hi}`").alias("__hi"),
+        )
+    joined = _bounds_join(df, bounds, group_cols)
+    v = F.col(value_col).cast("double")
+    # greatest/least SKIP nulls (a NULL value would clip to the bound);
+    # gate explicitly so NULL stays NULL
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
+    return joined.withColumn(f"{value_col}_winsorized", clipped).drop(
+        "__lo", "__hi"
     )

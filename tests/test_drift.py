@@ -166,3 +166,44 @@ def test_drift_projection_is_shuffle_free(spark):
     plan = drift._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
     assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan, plan
+
+
+def test_chi_square_numpy_and_distributed_agree(spark):
+    import numpy as np
+    from dff.drift import chi_square, chisq_drift
+
+    rng = np.random.default_rng(7)
+    cats = ["a", "b", "c", "d"]
+    base = {c: int(n) for c, n in zip(cats, rng.integers(50, 200, 4))}
+    cur_rows = [(c,) for c in rng.choice(cats, 500, p=[0.4, 0.3, 0.2, 0.1])]
+    df = spark.createDataFrame(cur_rows, "cat string")
+    got = chisq_drift(df, "cat", base).first()
+    e = np.array([base[c] for c in cats], dtype=float)
+    a = np.array(
+        [sum(1 for (x,) in cur_rows if x == c) for c in cats], dtype=float
+    )
+    assert abs(got["chi2"] - chi_square(e, a)) < 1e-9
+    assert got["dof"] == 3 and got["n"] == 500
+
+
+def test_chi_square_missing_and_extra_categories(spark):
+    import numpy as np
+    from dff.drift import chi_square, chisq_drift
+
+    # baseline has 'c' which vanished; current has 'x' absent from baseline
+    base = {"a": 100, "b": 100, "c": 50}
+    df = spark.createDataFrame(
+        [("a",)] * 120 + [("b",)] * 80 + [("x",)] * 10, "cat string"
+    )
+    got = chisq_drift(df, "cat", base).first()
+    e = np.array([100.0, 100.0, 50.0])
+    a = np.array([120.0, 80.0, 0.0])  # 'x' skipped (no baseline evidence)
+    # numpy twin rescales by the FULL actual total incl. 'x' rows? No:
+    # chisq_drift's na includes only rows, and 'x' contributes to na.
+    scaled = e * (210.0 / e.sum())
+    want = float(np.sum((a - scaled) ** 2 / scaled))
+    assert abs(got["chi2"] - want) < 1e-9
+    assert got["dof"] == 2
+    # identical distribution => statistic 0
+    same = spark.createDataFrame([("a",)] * 10 + [("b",)] * 10, "cat string")
+    assert chisq_drift(same, "cat", {"a": 10, "b": 10}).first()["chi2"] == 0.0

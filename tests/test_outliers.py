@@ -111,3 +111,52 @@ def test_outlier_plan_fact_side_never_shuffles(spark):
     # shuffle-free
     fact_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in fact_side, plan
+
+
+def test_winsorize_matches_pandas(spark):
+    from dff.outliers import winsorize
+
+    e = _events(spark)
+    got = {
+        r["event_id"]: r["value_winsorized"]
+        for r in winsorize(e, "value", ["event_type"], 0.1, 0.9).collect()
+    }
+    pdf = e.select("event_id", "event_type", "value").toPandas()
+    g = pdf.groupby("event_type")["value"]
+    lo = g.transform(lambda s: s.quantile(0.1))
+    hi = g.transform(lambda s: s.quantile(0.9))
+    want = pdf["value"].clip(lo, hi)
+    for eid, w in zip(pdf["event_id"], want):
+        assert abs(got[eid] - w) < 1e-9, eid
+
+
+def test_winsorize_nulls_and_validation(spark):
+    import pytest
+    from dff.outliers import winsorize
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, None), (4, 100.0)], "id int, v double"
+    )
+    rows = {r["id"]: r["v_winsorized"] for r in winsorize(df, "v").collect()}
+    assert rows[3] is None  # NULL passes through, never clips to the bound
+    with pytest.raises(ValueError):
+        winsorize(df, "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_winsorize_approx_bounds_have_small_rank_error(spark):
+    """The t-digest path's clip bounds must sit within rank error 0.05 of
+    the target quantiles (value-space distance is meaningless at the p99
+    tail of a skewed group — rank is the sketch's actual guarantee)."""
+    from dff.outliers import winsorize
+
+    e = _events(spark)
+    ap = winsorize(e, "value", ["event_type"], 0.05, 0.95, exact=False)
+    # recover each group's effective clip bounds from the output
+    pdf = ap.select("event_type", "value", "value_winsorized").toPandas()
+    for etype, g in pdf.dropna().groupby("event_type"):
+        lo, hi = g["value_winsorized"].min(), g["value_winsorized"].max()
+        vals = g["value"].sort_values().to_numpy()
+        rank_lo = (vals < lo).mean()
+        rank_hi = (vals <= hi).mean()
+        assert abs(rank_lo - 0.05) <= 0.05, (etype, rank_lo)
+        assert abs(rank_hi - 0.95) <= 0.05, (etype, rank_hi)
