@@ -1559,6 +1559,42 @@ def q_ntile_buckets(spark, sf_dir):
     )
 
 
+def q_impute_values(spark, sf_dir):
+    """Null repair (dff/repair.py:impute): NULLs planted deterministically
+    (event_id % 97 == 0), refilled with the per-type exact median, audit
+    flag kept.  Exact interpolated median == DuckDB quantile_cont."""
+    from dff.repair import impute
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute(e, "value", ["event_type"], strategy="median")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("decimal(28,12)"), 6)
+        .cast("double")
+        .alias("v"),
+        "was_imputed",
+    )
+
+
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency constraint (dff/fd.py): user_id -> event_type
+    is (deliberately) massively violated in events; the op reports each
+    conflicting (user, type) pair with its conflict count after
+    compressing to distinct pairs map-side."""
+    from dff.fd import fd_violations
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 60)
+    return fd_violations(e, ["user_id"], "event_type").select(
+        "user_id", "event_type", "n_conflicts"
+    )
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Data-derived anomaly constraint (dff/outliers.py:zscore_outliers):
     events whose value is >3 sample standard deviations from the mean OF
@@ -1892,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": q_unpivot_measures,
         "ntile_buckets": q_ntile_buckets,
         "winsorized_values": q_winsorized_values,
+        "impute_values": q_impute_values,
+        "fd_violations": q_fd_violations,
         "chisq_drift": q_chisq_drift,
         "zscore_outliers": q_zscore_outliers,
         "iqr_outliers": q_iqr_outliers,
@@ -2407,6 +2445,32 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM qtf q JOIN qdf USING (term) JOIN dl USING (doc_id)
                  CROSS JOIN consts
             GROUP BY q.doc_id
+        """,
+        "impute_values": """
+            WITH src AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END
+                       AS value
+              FROM events),
+            med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM src GROUP BY event_type)
+            SELECT s.event_id, s.event_type,
+                   CAST(round(CAST(coalesce(s.value, m) AS DECIMAL(28,12)), 6)
+                        AS DOUBLE) AS v,
+                   (s.value IS NULL AND m IS NOT NULL) AS was_imputed
+            FROM src s JOIN med USING (event_type)
+        """,
+        "fd_violations": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id, event_type
+              FROM events WHERE user_id < 60),
+            c AS (
+              SELECT user_id, count(*) AS n_conflicts
+              FROM pairs GROUP BY user_id)
+            SELECT p.user_id, p.event_type, c.n_conflicts
+            FROM pairs p JOIN c USING (user_id)
+            WHERE c.n_conflicts > 1
         """,
         "winsorized_values": """
             WITH b AS (

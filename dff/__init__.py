@@ -49,6 +49,10 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      stats: multi-column scan pruning, pure Catalyst bit ops.
 - ``dff.hll``        persisted mergeable HyperLogLog rollups (DataSketches):
                      incremental distinct counts from kilobyte sketch rows.
+- ``dff.repair``     null repair: per-group mean/median/constant imputation
+                     with audit flag; broadcast fills, map-only fact side.
+- ``dff.fd``         functional-dependency constraints (A -> B): violations
+                     found over map-side-compressed distinct pairs.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
