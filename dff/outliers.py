@@ -34,6 +34,7 @@ __all__ = [
     "iqr_outliers",
     "group_bounds_iqr",
     "winsorize",
+    "fences_as_rule",
 ]
 
 
@@ -214,3 +215,48 @@ def winsorize(
     return joined.withColumn(f"{value_col}_winsorized", clipped).drop(
         "__lo", "__hi"
     )
+
+
+def fences_as_rule(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: float = 1.5,
+    exact: bool = True,
+    delta: int = DEFAULT_DELTA,
+    rule_id: str = "IQR_OUTLIER",
+    requires: tuple[str, ...] = (),
+) -> dict:
+    """Fold data-derived Tukey fences into a RULE-DAG rule dict — the
+    bridge from this module to the engine's main pipeline: derive bounds
+    on a training window, then validate every later snapshot through
+    ``ValidationRunner`` with the fences as ordinary (vectorized,
+    whole-stage-codegen) constraint predicates.
+
+    Grouped fences compile to a ``CASE group WHEN ... END`` pair; rows in
+    groups unseen at derivation time get NULL bounds and are NOT flagged
+    (no evidence, no violation).  The bounds collect is one row per group.
+    """
+    rows = group_bounds_iqr(df, value_col, [group_col] if group_col else [],
+                            k, exact, delta).collect()
+
+    def esc(v) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    if group_col is None:
+        lo, hi = rows[0]["__lo"], rows[0]["__hi"]
+        pred = f"{value_col} < {lo!r} or {value_col} > {hi!r}"
+    else:
+        lo_arms = " ".join(
+            f"WHEN {esc(r[group_col])} THEN {r['__lo']!r}"
+            for r in rows if r[group_col] is not None
+        )
+        hi_arms = " ".join(
+            f"WHEN {esc(r[group_col])} THEN {r['__hi']!r}"
+            for r in rows if r[group_col] is not None
+        )
+        pred = (
+            f"{value_col} < (CASE {group_col} {lo_arms} END) "
+            f"or {value_col} > (CASE {group_col} {hi_arms} END)"
+        )
+    return {"id": rule_id, "name": pred, "requires": list(requires)}

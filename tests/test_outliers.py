@@ -160,3 +160,26 @@ def test_winsorize_approx_bounds_have_small_rank_error(spark):
         rank_hi = (vals <= hi).mean()
         assert abs(rank_lo - 0.05) <= 0.05, (etype, rank_lo)
         assert abs(rank_hi - 0.95) <= 0.05, (etype, rank_hi)
+
+
+def test_fences_as_rule_flags_same_rows_through_runner(spark):
+    """Loop closed: data-derived fences -> ruleset predicate -> the main
+    vectorized rule DAG flags exactly the rows iqr_outliers finds."""
+    from dff.outliers import fences_as_rule
+    from dff.ruleset import parse_json
+    from dff.compiler import compile_ruleset
+
+    e = _events(spark).withColumnRenamed("event_id", "eid")
+    rule = fences_as_rule(e, "value", "event_type")
+    rs = parse_json({"version": "fences-v1", "rules": [rule]})
+    comp = compile_ruleset(rs, e)
+    flagged = {
+        r["eid"]
+        for r in e.withColumn("v", comp.verdict)
+        .where(F.col("v").isNotNull())
+        .collect()
+    }
+    direct = {
+        r["eid"] for r in iqr_outliers(e, "value", ["event_type"]).collect()
+    }
+    assert flagged == direct and len(flagged) > 0
