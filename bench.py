@@ -282,6 +282,16 @@ def main() -> None:
 
     bench_callable("training_corpus_200k", _corpus_200k)
 
+    # lexical relevance at engine scale: Okapi BM25 over the 200k-doc
+    # corpus (tokenize/explode is the data-sized stage; query-term stats
+    # broadcast)
+    def _bm25_200k():
+        from dff.relevance import bm25_scores as _bm
+
+        return _bm(docs_df, ["spark", "join", "vector"])
+
+    bench_callable("bm25_200k", _bm25_200k)
+
     import tempfile
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
