@@ -1559,6 +1559,27 @@ def q_ntile_buckets(spark, sf_dir):
     )
 
 
+def q_bloom_referential(spark, sf_dir):
+    """Bloom-pre-filtered referential check (dff/bloom.py): the dim is the
+    set of user_ids seen in 'signup' events; fact rows failing the Bloom
+    probe are DEFINITE orphans emitted map-side (never shuffled), the rest
+    verify through the exact anti-join.  Result must equal the plain
+    anti-join — the oracle replays exactly that."""
+    from dff.bloom import orphan_rows_bloom
+
+    e = _t(spark, sf_dir, "events")
+    # user_id % 7 == 0 signups withheld from the dim => those users'
+    # purchases are planted orphans (the definite-orphan path fires)
+    dim = e.where(
+        (F.col("event_type") == "signup") & (F.col("user_id") % 7 != 0)
+    ).select("user_id")
+    orphans = orphan_rows_bloom(
+        e.where(F.col("event_type") == "purchase"), dim, ["user_id"],
+        m_bits=1 << 16,
+    )
+    return orphans.select("event_id", "user_id")
+
+
 def q_impute_values(spark, sf_dir):
     """Null repair (dff/repair.py:impute): NULLs planted deterministically
     (event_id % 97 == 0), refilled with the per-type exact median, audit
@@ -1929,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_buckets": q_ntile_buckets,
         "winsorized_values": q_winsorized_values,
         "impute_values": q_impute_values,
+        "bloom_referential": q_bloom_referential,
         "fd_violations": q_fd_violations,
         "chisq_drift": q_chisq_drift,
         "zscore_outliers": q_zscore_outliers,
@@ -2445,6 +2467,15 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM qtf q JOIN qdf USING (term) JOIN dl USING (doc_id)
                  CROSS JOIN consts
             GROUP BY q.doc_id
+        """,
+        "bloom_referential": """
+            SELECT e.event_id, e.user_id
+            FROM events e
+            WHERE e.event_type = 'purchase'
+              AND NOT EXISTS (
+                SELECT 1 FROM events s
+                WHERE s.event_type = 'signup' AND s.user_id % 7 != 0
+                  AND s.user_id = e.user_id)
         """,
         "impute_values": """
             WITH src AS (

@@ -53,6 +53,9 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      with audit flag; broadcast fills, map-only fact side.
 - ``dff.fd``         functional-dependency constraints (A -> B): violations
                      found over map-side-compressed distinct pairs.
+- ``dff.bloom``      expression-level Bloom filter (xxhash64 k-probe, packed
+                     longs); referential pre-filter emitting definite orphans
+                     map-side before the exact anti-join.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
