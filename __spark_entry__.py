@@ -1559,6 +1559,18 @@ def q_ntile_buckets(spark, sf_dir):
     )
 
 
+def q_monotonic_violations(spark, sf_dir):
+    """Order-dependency constraint (dff/fd.py:monotonic_violations):
+    per-user running-max watermark over event time; rows dipping below any
+    earlier high are violations.  prev_max is a copied data value (no
+    arithmetic), so it hash-matches without rounding."""
+    from dff.fd import monotonic_violations
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 15)
+    out = monotonic_violations(e, ["user_id"], ["ts", "event_id"], "value")
+    return out.select("user_id", "event_id", "value", "prev_max")
+
+
 def q_bloom_referential(spark, sf_dir):
     """Bloom-pre-filtered referential check (dff/bloom.py): the dim is the
     set of user_ids seen in 'signup' events; fact rows failing the Bloom
@@ -1951,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_values": q_winsorized_values,
         "impute_values": q_impute_values,
         "bloom_referential": q_bloom_referential,
+        "monotonic_violations": q_monotonic_violations,
         "fd_violations": q_fd_violations,
         "chisq_drift": q_chisq_drift,
         "zscore_outliers": q_zscore_outliers,
@@ -2467,6 +2480,18 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM qtf q JOIN qdf USING (term) JOIN dl USING (doc_id)
                  CROSS JOIN consts
             GROUP BY q.doc_id
+        """,
+        "monotonic_violations": """
+            SELECT user_id, event_id, value, prev_max
+            FROM (
+              SELECT user_id, event_id, value,
+                     max(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS prev_max
+              FROM events WHERE user_id < 15)
+            WHERE value IS NOT NULL AND prev_max IS NOT NULL
+              AND value < prev_max
         """,
         "bloom_referential": """
             SELECT e.event_id, e.user_id

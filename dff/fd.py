@@ -62,3 +62,39 @@ def fd_violation_rows(
         clause = df[k].eqNullSafe(bad[k])
         cond = clause if cond is None else cond & clause
     return df.join(bad, cond, "left_semi")
+
+
+def monotonic_violations(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Order-dependency constraint: within each key, ``value_col`` must be
+    non-decreasing (``strict=True``: strictly increasing) along
+    ``order_cols`` — e.g. commit timestamps per repo, sequence numbers per
+    session.  Returns the violating rows + ``prev_value``.
+
+    Comparison is against the RUNNING MAX of all preceding values (so a dip
+    below any earlier high is flagged even if the immediately preceding row
+    already dipped); NULL values neither violate nor advance the watermark.
+    One window pass: the single Exchange partitions by key; at 10^12 rows a
+    pathologically hot key is handled the same way as dff/asof.py documents
+    (coarse-bucket the ordering, seed each bucket with the previous
+    bucket's max).
+    """
+    from pyspark.sql import Window
+
+    if not key_cols or not order_cols:
+        raise ValueError("key_cols and order_cols must be non-empty")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col(value_col)
+    out = df.withColumn("prev_max", F.max(value_col).over(w))
+    p = F.col("prev_max")
+    bad = (v <= p) if strict else (v < p)
+    return out.where(v.isNotNull() & p.isNotNull() & bad)

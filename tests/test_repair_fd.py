@@ -91,3 +91,28 @@ def test_fd_shuffle_is_pair_compressed(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "value#" not in line and "props#" not in line, line
+
+
+def test_monotonic_violations(spark):
+    from dff.fd import monotonic_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0), ("a", 2, 12.0), ("a", 3, 11.0),  # 3 violates
+            ("a", 4, None), ("a", 5, 11.5),  # NULL skipped; 11.5 < 12 violates
+            ("b", 1, 5.0), ("b", 2, 5.0),    # equal ok unless strict
+        ],
+        "k string, seq int, v double",
+    )
+    got = {(r["k"], r["seq"]): r["prev_max"] for r in
+           monotonic_violations(df, ["k"], ["seq"], "v").collect()}
+    # running-max semantics: the dip at seq 3 AND the still-below-high
+    # 11.5 at seq 5 both violate (max so far = 12.0)
+    assert got == {("a", 3): 12.0, ("a", 5): 12.0}
+    strict = {(r["k"], r["seq"]) for r in
+              monotonic_violations(df, ["k"], ["seq"], "v", strict=True).collect()}
+    assert ("b", 2) in strict
+    import pytest
+
+    with pytest.raises(ValueError):
+        monotonic_violations(df, [], ["seq"], "v")
