@@ -160,3 +160,75 @@ def plan_pending(
         [part_col],
         "left_anti",
     )
+
+
+def metric_regressions(
+    store: "CheckpointStore",
+    current_snapshot: str,
+    baseline_snapshot: str,
+    max_row_drop: float = 0.1,
+    max_violation_rise: float = 0.5,
+) -> DataFrame:
+    """Snapshot-over-snapshot TREND constraints from the lineage table:
+    per partition, row count must not fall more than ``max_row_drop``
+    (fraction) and the violation RATE must not rise more than
+    ``max_violation_rise`` (fraction, relative) vs the baseline snapshot.
+
+    Validation of the validation: a snapshot can pass every row-level rule
+    yet silently lose 40% of a partition upstream — only the lineage trend
+    sees that.  Reads ONLY checkpoint rows (kilobytes per snapshot), joins
+    per partition_id, and emits one violation row per breached partition
+    with the breached check named.  Partitions new in the current snapshot
+    pass (no baseline evidence); partitions that VANISHED are reported as
+    ``missing_partition``.
+    """
+    cur = (
+        store.read()
+        .where(F.col("snapshot_id") == current_snapshot)
+        .select(
+            "partition_id",
+            F.col("rows").alias("cur_rows"),
+            F.col("violations").alias("cur_viol"),
+        )
+    )
+    base = (
+        store.read()
+        .where(F.col("snapshot_id") == baseline_snapshot)
+        .select(
+            "partition_id",
+            F.col("rows").alias("base_rows"),
+            F.col("violations").alias("base_viol"),
+        )
+    )
+    j = base.join(cur, "partition_id", "full_outer")
+    row_drop = (F.col("base_rows") - F.col("cur_rows")) / F.col("base_rows")
+    cur_rate = F.col("cur_viol") / F.col("cur_rows")
+    base_rate = F.col("base_viol") / F.col("base_rows")
+    rate_rise = (cur_rate - base_rate) / base_rate
+    check = (
+        F.when(
+            F.col("base_rows").isNotNull() & F.col("cur_rows").isNull(),
+            F.lit("missing_partition"),
+        )
+        .when(
+            F.col("base_rows").isNotNull()
+            & (F.col("base_rows") > 0)
+            & (row_drop > max_row_drop),
+            F.lit("row_drop"),
+        )
+        .when(
+            F.col("base_viol").isNotNull()
+            & (F.col("base_viol") > 0)
+            & F.col("cur_rows").isNotNull()
+            & (rate_rise > max_violation_rise),
+            F.lit("violation_rise"),
+        )
+    )
+    return (
+        j.withColumn("check", check)
+        .where(F.col("check").isNotNull())
+        .select(
+            "partition_id", "check",
+            "base_rows", "cur_rows", "base_viol", "cur_viol",
+        )
+    )

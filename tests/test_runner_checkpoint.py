@@ -271,3 +271,38 @@ def test_row_attribution_reports_every_constraint_not_first_win(spark):
     # contrast: the first-win verdict collapses a.py to R_empty alone
     v = {r["path"]: r["verdict_id"] for r in runner.row_verdicts(df).collect()}
     assert v == {"a.py": "R_empty", "b.py": None, "c.py": "R_empty"}
+
+
+def test_metric_regressions_trend_checks(spark, tmp_path):
+    import datetime as dt
+
+    from dff.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore, metric_regressions
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    ts = dt.datetime(2026, 1, 1)
+
+    def rows(snap, entries):
+        return spark.createDataFrame(
+            [
+                (snap, "bucket(part_id)", pid, "v1", n, v, "pass", {}, ts)
+                for (pid, n, v) in entries
+            ],
+            CHECKPOINT_SCHEMA,
+        )
+
+    store.append(rows("s1", [(0, 1000, 10), (1, 1000, 10), (2, 500, 0), (3, 100, 5)]))
+    store.append(rows("s2", [
+        (0, 980, 10),    # fine
+        (1, 850, 10),    # 15% row drop -> breach
+        (2, 510, 30),    # base_viol = 0 -> rate check skipped (no evidence)
+        # partition 3 vanished -> missing_partition
+        (9, 50, 50),     # new partition -> pass
+    ]))
+    got = {r["partition_id"]: r["check"] for r in
+           metric_regressions(store, "s2", "s1").collect()}
+    assert got == {1: "row_drop", 3: "missing_partition"}
+    # violation-rate rise: same rows, violations 10 -> 20 (rate x2)
+    store.append(rows("s3", [(0, 980, 25), (1, 850, 10)]))
+    got3 = {r["partition_id"]: r["check"] for r in
+            metric_regressions(store, "s3", "s2").collect()}
+    assert got3[0] == "violation_rise" and got3[2] == "missing_partition"
