@@ -61,6 +61,13 @@ def tfidf(
 
     N is folded in as a scalar subquery (one COUNT agg, broadcast by
     Catalyst) so the whole computation stays one lazy plan.
+
+    Skew note: the tf-x-vocab join keys on ``term``, and stopword-grade
+    terms are Zipf-hot.  The vocab side is one row per term, so AQE's
+    skew-join split handles the tf side; when the vocabulary fits an
+    executor (it usually does — vocab grows ~log corpus), AQE promotes the
+    join to broadcast and the tf side never shuffles at all.  BM25 below
+    avoids the issue entirely by pre-filtering to the query terms.
     """
     tf = term_frequencies(docs, id_col, text_col, pattern)
     df_ = doc_frequencies(tf, id_col)
