@@ -101,10 +101,17 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--n-repos", type=int, default=2000)
     ap.add_argument("--skew", action="store_true", help="skew-stress dataset")
     ap.add_argument("--no-drift", action="store_true")
+    ap.add_argument("--trend-baseline", metavar="SNAPSHOT_ID",
+                    help="after the run, compare this snapshot's per-"
+                         "partition lineage metrics against SNAPSHOT_ID "
+                         "(row drops / violation-rate rises / vanished "
+                         "partitions); requires --checkpoint")
     ap.add_argument("--report", action="store_true",
                     help="print the rule-DAG dump + per-constraint hit report")
     ap.add_argument("--bench", action="store_true", help="print one timing JSON line")
     args = ap.parse_args(argv)
+    if args.trend_baseline and not args.checkpoint:
+        ap.error("--trend-baseline requires --checkpoint (lineage store)")
 
     spark = build_session(args.parallelism)
     spark.sparkContext.setLogLevel("ERROR")
@@ -202,6 +209,17 @@ def main(argv: list[str] | None = None) -> dict:
         return _summary(metrics, wall, args)
     metrics = result.partition_metrics.collect()
     out = _summary(metrics, time.perf_counter() - t0, args)
+    if args.trend_baseline:
+        from dff.checkpoint import metric_regressions
+
+        breaches = [
+            r.asDict()
+            for r in metric_regressions(
+                store, args.snapshot_id, args.trend_baseline
+            ).collect()
+        ]
+        out["trend_breaches"] = breaches
+        out["trend_ok"] = not breaches
     if args.report:
         from dff.report import render_report
 
