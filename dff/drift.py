@@ -439,3 +439,38 @@ def content_length_bins(max_log2: int = 24) -> NumericBins:
         edges=tuple(float(2**i) for i in range(0, max_log2, 2)),
         expr="length(content)",
     )
+
+
+def auto_numeric_bins(
+    df: DataFrame,
+    column: str,
+    n_buckets: int = 16,
+    expr: str | None = None,
+    accuracy: int = 10000,
+) -> NumericBins:
+    """Derive equi-depth bin edges for :class:`NumericBins` from a baseline
+    frame — hand-tuned edges (e.g. ``content_length_bins``) stop being a
+    requirement for tracking a new column.
+
+    Interior edges are the column's ``1/n .. (n-1)/n`` approximate
+    quantiles (Greenwald-Khanna, one pass, mergeable), deduplicated (a hot
+    point value collapses its buckets instead of producing zero-width
+    bins).  Equal-mass bins maximize the histogram's sensitivity where the
+    data actually lives, which is what PSI/KS/JS read.  Edge collection is
+    one bounded driver row, same footprint class as the drift baseline
+    snapshot itself.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    src = F.expr(expr) if expr else F.col(column)
+    row = df.agg(
+        F.percentile_approx(src.cast("double"), qs, accuracy).alias("q")
+    ).first()
+    cuts = row["q"] or []
+    edges = tuple(sorted({float(c) for c in cuts if c is not None}))
+    if not edges:
+        raise ValueError(
+            f"column {column!r} has no non-null values to derive bins from"
+        )
+    return NumericBins(column=column, edges=edges, expr=expr)

@@ -207,3 +207,27 @@ def test_chi_square_missing_and_extra_categories(spark):
     # identical distribution => statistic 0
     same = spark.createDataFrame([("a",)] * 10 + [("b",)] * 10, "cat string")
     assert chisq_drift(same, "cat", {"a": 10, "b": 10}).first()["chi2"] == 0.0
+
+
+def test_auto_numeric_bins_equalize_mass(spark):
+    import numpy as np
+    import pytest
+    from dff.drift import DriftSpec, auto_numeric_bins, snapshot
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    bins = auto_numeric_bins(e, "value", n_buckets=8)
+    assert bins.n_buckets <= 9  # dedup may collapse; never more
+    spec = DriftSpec(numeric=[bins])
+    counts = snapshot(e, spec)["value"]
+    n = counts.sum()
+    # interior buckets hold ~1/8 of the mass each (GK approx tolerance)
+    assert (np.abs(counts / n - 1.0 / 8) < 0.05).all(), counts
+    # degenerate: constant column collapses to one edge, two buckets
+    const = spark.createDataFrame([(1.0,)] * 50, "v double")
+    b2 = auto_numeric_bins(const, "v", n_buckets=8)
+    assert b2.edges == (1.0,)
+    with pytest.raises(ValueError):
+        auto_numeric_bins(e, "value", n_buckets=1)
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    with pytest.raises(ValueError):
+        auto_numeric_bins(allnull, "v")
