@@ -607,6 +607,71 @@ def q_sha256(spark, sf_dir):
     return d.select("doc_id", F.sha2("text", 256).alias("content_sha"))
 
 
+def q_hashing_vector_violations(spark, sf_dir):
+    """Driver-checkable INVARIANT for feature hashing
+    (dff/vectorize.py): over all pairs of 30 documents, the hashed-vector
+    cosine (dim=1024) must sit within 0.2 of the exact token-count cosine
+    (hashing error ~1/sqrt(dim) ≈ 0.03 std; 0.2 is >6 sigma).  Pairs with
+    no shared term count as exact cosine 0.  Violations returned; expected
+    empty."""
+    from dff.relevance import term_frequencies
+    from dff.vectorize import hashing_vectorize
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    tf = term_frequencies(docs)
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("n")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("ida"), "term", F.col("tf").alias("tfa")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("idb"), "term", F.col("tf").alias("tfb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("ida"))
+        .crossJoin(ids.select(F.col("doc_id").alias("idb")))
+        .where(F.col("ida") < F.col("idb"))
+    )
+    exact = (
+        all_pairs.join(dots, ["ida", "idb"], "left")
+        .join(norms.select(F.col("doc_id").alias("ida"), F.col("n").alias("na")), "ida")
+        .join(norms.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb")), "idb")
+        .select(
+            "ida", "idb",
+            (F.coalesce(F.col("dot"), F.lit(0.0)) / (F.col("na") * F.col("nb")))
+            .alias("exact_cos"),
+        )
+    )
+    vecs = hashing_vectorize(docs, dim=1024)
+    va = vecs.select(F.col("doc_id").alias("ida"), F.col("embedding").alias("ea"))
+    vb = vecs.select(F.col("doc_id").alias("idb"), F.col("embedding").alias("eb"))
+    hashed = (
+        va.crossJoin(vb)
+        .where(F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb",
+            F.aggregate(
+                F.zip_with("ea", "eb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("hash_cos"),
+        )
+    )
+    return (
+        exact.join(hashed, ["ida", "idb"])
+        .where(F.abs(F.col("hash_cos") - F.col("exact_cos")) > 0.2)
+        .select("ida", "idb", "exact_cos", "hash_cos")
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (dff/relevance.py:tfidf) — lexical
     relevance for corpus search / quality filtering.  idf operands are
@@ -1930,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha256": q_sha256,
         "token_counts": q_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "hashing_vector_violations": q_hashing_vector_violations,
         "bm25_scores": q_bm25_scores,
         "source_profile": q_source_profile,
         "psi_drift": q_psi_drift,
@@ -2433,6 +2499,12 @@ def _oracle_sql_base() -> dict[str, str]:
                         AS DOUBLE) AS sum_value,
                    count(DISTINCT event_type) AS n_types
             FROM events
+        """,
+        "hashing_vector_violations": """
+            SELECT CAST(NULL AS BIGINT) AS ida, CAST(NULL AS BIGINT) AS idb,
+                   CAST(NULL AS DOUBLE) AS exact_cos,
+                   CAST(NULL AS DOUBLE) AS hash_cos
+            WHERE 1 = 0
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),

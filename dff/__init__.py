@@ -56,6 +56,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.bloom``      expression-level Bloom filter (xxhash64 k-probe, packed
                      longs); referential pre-filter emitting definite orphans
                      map-side before the exact anti-join.
+- ``dff.vectorize``  signed feature-hashing document vectors (no vocabulary
+                     state, pure Catalyst); feeds the ANN/near-dup stack.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
