@@ -58,6 +58,8 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
                      map-side before the exact anti-join.
 - ``dff.vectorize``  signed feature-hashing document vectors (no vocabulary
                      state, pure Catalyst); feeds the ANN/near-dup stack.
+- ``dff.projection`` persistable PCA basis for embedding columns (pyspark.ml
+                     + array plumbing); recall-measured dim reduction for ANN.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
