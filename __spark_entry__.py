@@ -1332,6 +1332,28 @@ def q_ngram_jaccard_exact(spark, sf_dir):
     )
 
 
+def q_ngram_containment_exact(spark, sf_dir):
+    """Exact asymmetric containment |grams(small) ∩ grams(big)| /
+    |grams(small)| over a bounded all-pairs (the verify expression of
+    dff/dedup.py:ngram_containment_pairs; deliberate all-pairs at the
+    500-doc gate — the scale path is the rare-gram inverted index, pinned
+    by test_dedup.py's planted-containment + df-cap tests)."""
+    from dff.dedup import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(F.col("doc_id").alias("doc"), word_ngrams("text", 3).alias("grams"))
+    a = g.select(F.col("doc").alias("id_small"), F.col("grams").alias("g_a"))
+    b = g.select(F.col("doc").alias("id_big"), F.col("grams").alias("g_b"))
+    pairs = a.join(b, F.col("id_small") != F.col("id_big")).where(
+        F.size("g_a") > 0
+    )
+    c = F.size(F.array_intersect("g_a", "g_b")) / F.size("g_a")
+    return (
+        pairs.select("id_small", "id_big", F.round(c, 4).alias("containment"))
+        .where(F.col("containment") >= 0.3)
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-cluster formation: transitive closure of the exact
     n-gram-Jaccard pair graph via distributed alternating-star connected
@@ -2047,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "weighted_sample_per_group": q_weighted_sample_per_group,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
+        "ngram_containment_exact": q_ngram_containment_exact,
         "dup_clusters": q_dup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "best_survivors": q_best_survivors,
@@ -2957,6 +2980,17 @@ def _oracle_sql_base() -> dict[str, str]:
         "ngram_jaccard_exact": f"""
             WITH {_NGRAM_PAIR_CTES}
             SELECT id_a, id_b, jaccard FROM njpairs
+        """,
+        # asymmetric containment over the same gram CTEs (w, g)
+        "ngram_containment_exact": f"""
+            WITH {_NGRAM_PAIR_CTES}
+            SELECT id_small, id_big, containment FROM (
+              SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+                     round(len(list_intersect(a.grams, b.grams)) * 1.0
+                           / len(a.grams), 4) AS containment
+              FROM g a JOIN g b ON a.doc_id != b.doc_id
+              WHERE len(a.grams) > 0)
+            WHERE containment >= 0.3
         """,
         # transitive closure of the same pair graph: min-label
         # reachability (comp = min doc_id reachable) == connected

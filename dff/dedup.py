@@ -486,6 +486,89 @@ def ngram_jaccard_pairs(
     )
 
 
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 20,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(a in b) = |grams(a) n grams(b)|
+    / |grams(a)| — catches a short document quoted/embedded inside a long
+    one, which symmetric Jaccard misses (a 100-gram doc fully inside a
+    10,000-gram doc has Jaccard ~0.01 but containment 1.0).  MinHash
+    banding CANNOT generate these candidates (band collision probability
+    tracks Jaccard, which is ~0 for very asymmetric pairs), so blocking is
+    a RARE-GRAM INVERTED INDEX instead: every n-gram with document
+    frequency <= ``max_df`` becomes a blocking key.  If a is contained in
+    b, EVERY gram of a appears in b, so any globally-rare gram of a
+    guarantees the (a, b) collision; bucket size is capped at ``max_df``
+    by construction (no hot-bucket pass needed), so candidate count is
+    bounded by sum_over_rare_grams df(g)^2/2.  The one documented miss:
+    a document composed ENTIRELY of boilerplate grams (df > max_df
+    everywhere) generates no blocking key — the same pathological case
+    every blocking scheme caps away.
+
+    Verification is exact JVM set arithmetic on the candidate pairs.
+    Output is directional: (id_small, id_big, containment) means
+    "id_small's grams are >= threshold covered by id_big"; both directions
+    emit when both exceed the threshold.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("grams")
+    )
+    inv = grams.select("doc", F.explode_outer("grams").alias("g")).where(
+        F.col("g").isNotNull()
+    ).distinct()
+    rare = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+        .where(F.col("df_g") <= max_df)
+        .select("g")
+    )
+    keyed = inv.join(rare, "g")
+    cands = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "g")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b")
+        )
+        .distinct()
+    )
+    sized = (
+        cands.join(
+            grams.withColumnRenamed("doc", "id_a").withColumnRenamed("grams", "g_a"),
+            "id_a",
+        )
+        .join(
+            grams.withColumnRenamed("doc", "id_b").withColumnRenamed("grams", "g_b"),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("n_a", F.size("g_a"))
+        .withColumn("n_b", F.size("g_b"))
+    )
+    a_in_b = sized.where(
+        (F.col("n_a") > 0) & (F.col("inter") / F.col("n_a") >= threshold)
+    ).select(
+        F.col("id_a").alias("id_small"),
+        F.col("id_b").alias("id_big"),
+        (F.col("inter") / F.col("n_a")).alias("containment"),
+    )
+    b_in_a = sized.where(
+        (F.col("n_b") > 0) & (F.col("inter") / F.col("n_b") >= threshold)
+    ).select(
+        F.col("id_b").alias("id_small"),
+        F.col("id_a").alias("id_big"),
+        (F.col("inter") / F.col("n_b")).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a)
+
+
 # ------------------------------------------------- embedding near-dup --
 
 

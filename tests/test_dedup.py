@@ -237,3 +237,42 @@ def test_contaminated_docs_flags_planted_overlap_only(spark):
     }
     assert set(got) == {1, 3}
     assert all(v >= 1 for v in got.values())
+
+
+def test_ngram_containment_asymmetric_pairs(spark):
+    from dff.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    rows = [
+        (1, short),                      # contained in 2
+        (2, filler + " " + short + " " + filler.replace("w", "v")),
+        (3, "totally different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # every gram of 1 is in 2
+    assert (2, 1) not in got                     # NOT symmetric
+    assert all(3 not in k for k in got)
+    # symmetric Jaccard at the same bar misses the asymmetric pair
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    assert not [r for r in jac.collect() if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_ngram_containment_rare_gram_cap(spark):
+    from dff.dedup import ngram_containment_pairs
+
+    # a gram shared by MANY docs (df > max_df) is not a blocking key:
+    # identical boilerplate-only docs generate no candidates (documented)
+    rows = [(i, "common boiler plate text repeated") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = ngram_containment_pairs(df, "doc_id", "text", n=3, max_df=20)
+    assert out.count() == 0
+    # raising max_df above the df makes them all mutual containments
+    out2 = ngram_containment_pairs(df, "doc_id", "text", n=3, max_df=40)
+    assert out2.count() == 30 * 29  # both directions for every pair
