@@ -386,6 +386,28 @@ def q_dup_keys(spark, sf_dir):
     return duplicate_key_counts(o, ["o_custkey"])
 
 
+def q_json_extract_stats(spark, sf_dir):
+    """Semi-structured parsing: typed ``from_json`` extraction of the
+    events.props JSON column (schema'd struct — predicate/aggregate over
+    the parsed field stays whole-stage codegen) with malformed-input
+    accounting: rows planted as garbage (event_id % 101 == 0) parse to
+    NULL under PERMISSIVE mode and are counted, never dropped or fatal —
+    exactly what a 100 TB ingest needs from dirty JSON."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 101 == 0, F.lit("{not json")).otherwise(
+            F.col("props")
+        ),
+    )
+    parsed = e.withColumn("p", F.from_json("props", "k long"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p.k").isNull().cast("long")).alias("n_malformed"),
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
 def q_rolling_aggs(spark, sf_dir):
     """Window FRAMES over event time (the reference's per-account running
     aggregates generalized): per-user cumulative sum, trailing-3-row moving
@@ -2008,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keys": q_dup_keys,
         "event_gaps": q_event_gaps,
         "rolling_aggs": q_rolling_aggs,
+        "json_extract_stats": q_json_extract_stats,
         "asof_join": q_asof_join,
         "asof_join_skewed": q_asof_join_skewed,
         "asof_join_forward": q_asof_join_forward,
@@ -2287,6 +2310,23 @@ def _oracle_sql_base() -> dict[str, str]:
         "dup_keys": """
             SELECT o_custkey, count(*) AS dup_count FROM orders
             GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "json_extract_stats": """
+            WITH src AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 101 = 0 THEN '{not json'
+                          ELSE props END AS props
+              FROM events),
+            parsed AS (
+              SELECT event_type,
+                     CASE WHEN json_valid(props)
+                          THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                     END AS k
+              FROM src)
+            SELECT event_type, count(*) AS n,
+                   sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_malformed,
+                   sum(k) AS sum_k, max(k) AS max_k
+            FROM parsed GROUP BY event_type
         """,
         "rolling_aggs": """
             SELECT user_id, event_id,
