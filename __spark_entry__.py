@@ -386,6 +386,37 @@ def q_dup_keys(spark, sf_dir):
     return duplicate_key_counts(o, ["o_custkey"])
 
 
+def q_batch_sessions(spark, sf_dir):
+    """Batch sessionization — the canonical window composition: per-user
+    event gaps -> new-session flag (gap > 30 min) -> cumulative sum as
+    session id -> per-session aggregates.  One Exchange on user_id feeds
+    both window passes AND the final groupBy (same partitioning).  The
+    streaming twin is q_session_counts / dff.streaming.sessionize_events."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts").cast("timestamp")) - F.unix_millis(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_sess = (
+        F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0)
+    )
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (
+            F.unix_millis(F.max("ts").cast("timestamp"))
+            - F.unix_millis(F.min("ts").cast("timestamp"))
+        ).alias("duration_ms"),
+    )
+
+
 def q_json_extract_stats(spark, sf_dir):
     """Semi-structured parsing: typed ``from_json`` extraction of the
     events.props JSON column (schema'd struct — predicate/aggregate over
@@ -2031,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gaps": q_event_gaps,
         "rolling_aggs": q_rolling_aggs,
         "json_extract_stats": q_json_extract_stats,
+        "batch_sessions": q_batch_sessions,
         "asof_join": q_asof_join,
         "asof_join_skewed": q_asof_join_skewed,
         "asof_join_forward": q_asof_join_forward,
@@ -2310,6 +2342,25 @@ def _oracle_sql_base() -> dict[str, str]:
         "dup_keys": """
             SELECT o_custkey, count(*) AS dup_count FROM orders
             GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "batch_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+              FROM events WHERE user_id < 40),
+            s AS (
+              SELECT user_id, event_id, ts,
+                     sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event,
+                   epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+            FROM s GROUP BY user_id, session_id
         """,
         "json_extract_stats": """
             WITH src AS (
