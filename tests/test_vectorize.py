@@ -99,3 +99,35 @@ def test_zero_token_docs_get_zero_vectors_and_dim_validation(spark):
     assert abs(sum(v * v for v in rows[1]) - 1.0) < 1e-9
     with pytest.raises(ValueError):
         hashing_vectorize(df, dim=1)
+
+
+def test_text_ivf_end_to_end_recall(spark):
+    """The whole model-free text-similarity stack composed: feature-hash
+    500 docs -> IVF index (8 cells) -> probe; recall@5 vs brute force over
+    the SAME hashed vectors must be high at nprobe=4 and perfect at full
+    probe (IVF is a partitioning of the same scored space)."""
+    from dff.similarity import brute_force_topk, build_ivf_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    vecs = hashing_vectorize(docs, dim=128).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).persist()
+    vecs.count()
+    qids = [0, 100, 200, 300, 400]
+    qs = vecs.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {}
+    for r in brute_force_topk(vecs, qs, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["item_id"])
+    idx = build_ivf_index(vecs, n_centroids=8)
+    full = {}
+    for r in idx.query(qs, k=5, nprobe=8).collect():
+        full.setdefault(r["query_id"], set()).add(r["item_id"])
+    assert full == truth  # full probe == exact
+    part = {}
+    for r in idx.query(qs, k=5, nprobe=4).collect():
+        part.setdefault(r["query_id"], set()).add(r["item_id"])
+    recalls = [len(part.get(q, set()) & truth[q]) / 5 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    vecs.unpersist()
