@@ -2030,71 +2030,118 @@ def q_incremental_dedup_violations(spark, sf_dir):
     )
 
 
+def q_pca_projection_violations(spark, sf_dir):
+    """Driver-checkable INVARIANT for PCA projection (dff/projection.py,
+    VERDICT r04 #5): a full-rank (k = d) PCA basis is orthonormal, so it
+    preserves every pairwise squared Euclidean distance exactly (fp
+    tolerance); any k < d projection is a CONTRACTION — it can only shrink
+    a distance, never grow it.  Both checks over all pairs of a fixed
+    30-vector set; violations returned, expected empty (oracle twin:
+    WHERE 1=0, the pattern shared with minhash/ivf/tdigest).  Basis
+    QUALITY beyond the invariant (recall@10 of projected ANN) is pinned by
+    tests/test_projection.py."""
+    from dff.projection import fit_pca
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    full = fit_pca(emb, "embedding", k=64)
+    low = fit_pca(emb, "embedding", k=8)
+    ev = emb.where(F.col("vec_id") < 30).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    proj = low.transform(full.transform(ev, "p_full"), "p_low")
+
+    def d2(ca, cb):
+        return F.aggregate(
+            F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = proj.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("xa"),
+        F.col("p_full").alias("fa"), F.col("p_low").alias("la"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("xb"),
+        F.col("p_full").alias("fb"), F.col("p_low").alias("lb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("ida") < F.col("idb"))
+        .select(
+            "ida", "idb",
+            d2("xa", "xb").alias("exact_d2"),
+            d2("fa", "fb").alias("full_d2"),
+            d2("la", "lb").alias("low_d2"),
+        )
+    )
+    return pairs.where(
+        (F.abs(F.col("full_d2") - F.col("exact_d2"))
+         > 1e-6 * (F.col("exact_d2") + F.lit(1.0)))
+        | (F.col("low_d2")
+           > F.col("exact_d2") * F.lit(1.0 + 1e-9) + F.lit(1e-6))
+    ).select("ida", "idb", "exact_d2", "full_d2", "low_d2")
+
+
+def q_lineage_trend_violations(spark, sf_dir):
+    """Trend gate (dff/checkpoint.py:trend_violations — the engine's
+    snapshot-over-snapshot lineage constraints, VERDICT r04 #8) under the
+    driver: two per-partition metric frames derived deterministically from
+    orders.  base = rows + violations per (o_orderkey % 24) partition;
+    cur = the same snapshot with partition 7 losing every o_orderkey%5<2
+    row (~40% drop > 10% gate; 5 is coprime with 24, so the drop predicate
+    varies WITHIN the partition — a %3 predicate would be constant there),
+    partition 11's violations tripled (rate rise 2.0 > 0.5 gate), and
+    partition 19 absent entirely (missing_partition).  The oracle replays
+    the aggregation + full-outer join + first-match CASE in ANSI SQL."""
+    from dff.checkpoint import trend_violations
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 24).cast("int").alias("partition_id"),
+        "o_orderkey",
+    )
+    is_viol = F.when(F.col("o_orderkey") % 11 == 0, 1).otherwise(0)
+    base = orders.groupBy("partition_id").agg(
+        F.count("*").alias("base_rows"),
+        F.sum(is_viol).alias("base_viol"),
+    )
+    cur_src = orders.where(
+        ~((F.col("partition_id") == 7) & (F.col("o_orderkey") % 5 < 2))
+        & (F.col("partition_id") != 19)
+    )
+    cur_viol = F.when(
+        F.col("o_orderkey") % 11 == 0,
+        F.when(F.col("partition_id") == 11, 3).otherwise(1),
+    ).otherwise(0)
+    cur = cur_src.groupBy("partition_id").agg(
+        F.count("*").alias("cur_rows"),
+        F.sum(cur_viol).alias("cur_viol"),
+    )
+    return trend_violations(base, cur, max_row_drop=0.1, max_violation_rise=0.5)
+
+
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION PLAN (the driver's correctness gate checks only the FIRST
+    # 50 entries of this dict each round):
+    #   r1-r4 accumulated green rows for 60 of the 96 registered queries
+    #   but left 36 never driver-checked (VERDICT r04 #1).  Round 5 front-
+    #   loads exactly those 36, plus the two hash-fixed oracles
+    #   (json_extract_stats / batch_sessions — DuckDB HUGEINT casts), plus
+    #   the two new queries (pca_projection_violations /
+    #   lineage_trend_violations), plus a 10-query core sample spanning the
+    #   engine's pillars (rule DAG, skew agg, dedup invariants, drift,
+    #   as-of, ANN).  Everything after position 50 already has a green
+    #   CORRECTNESS row on record (r3 or r4).  Future rounds: rotate any
+    #   entry whose latest green row is >2 rounds old into the window.
     return {
-        "rule_dag_verdict": q_rule_dag_verdict,
-        "rule_dag_score_fanout": q_rule_dag_score_fanout,
-        "pricing_summary": q_pricing_summary,
-        "filter_project": q_filter_project,
-        "case_when_matrix": q_case_when_matrix,
-        "inner_join": q_inner_join,
-        "left_outer_join": q_left_outer_join,
-        "full_outer_join": q_full_outer_join,
-        "cross_join_small": q_cross_join_small,
-        "broadcast_join": q_broadcast_join,
-        "left_anti": q_left_anti,
-        "left_anti_big_dim": q_left_anti_big_dim,
-        "left_semi": q_left_semi,
-        "topk": q_topk,
-        "window_topk_per_group": q_window_topk_per_group,
-        "stats_onepass": q_stats_onepass,
-        "exact_percentiles": q_exact_percentiles,
-        "sort_limit": q_sort_limit,
-        "distinct": q_distinct,
-        "union_distinct": q_union_distinct,
-        "except_all": q_except_all,
-        "rollup_grouping": q_rollup_grouping,
-        "monthly_rollup": q_monthly_rollup,
-        "dup_keys": q_dup_keys,
-        "event_gaps": q_event_gaps,
-        "rolling_aggs": q_rolling_aggs,
-        "json_extract_stats": q_json_extract_stats,
-        "batch_sessions": q_batch_sessions,
-        "asof_join": q_asof_join,
-        "asof_join_skewed": q_asof_join_skewed,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "range_join": q_range_join,
-        "interval_overlap_join": q_interval_overlap_join,
-        "sha256": q_sha256,
-        "token_counts": q_token_counts,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "hashing_vector_violations": q_hashing_vector_violations,
-        "bm25_scores": q_bm25_scores,
-        "source_profile": q_source_profile,
-        "psi_drift": q_psi_drift,
-        "js_drift": q_js_drift,
-        "lang_id": q_lang_id,
-        "ann_bruteforce": q_ann_bruteforce,
-        "salted_stats": q_salted_stats,
-        "quality_scores": q_quality_scores,
-        "word_entropy": q_word_entropy,
-        "minhash_precision_violations": q_minhash_precision_violations,
-        "incremental_dedup_violations": q_incremental_dedup_violations,
-        "simhash_precision_violations": q_simhash_precision_violations,
-        "ivf_full_probe": q_ivf_full_probe,
+        # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
         "ivf_incremental_full_probe": q_ivf_incremental_full_probe,
-        "ivf_consistency_violations": q_ivf_consistency_violations,
-        "embedding_near_dups": q_embedding_near_dups,
-        "stream_window_counts": q_stream_window_counts,
         "session_counts": q_session_counts,
         "stream_interval_join": q_stream_interval_join,
         "row_attribution": q_row_attribution,
-        "multimodal_bytes": q_multimodal_bytes,
-        "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
         "heavy_hitters_exact": q_heavy_hitters_exact,
         "heavy_hitters_violations": q_heavy_hitters_violations,
         "stratified_sample": q_stratified_sample,
@@ -2123,11 +2170,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "quota_sample": q_quota_sample,
         "weighted_sample_per_group": q_weighted_sample_per_group,
-        "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "ngram_containment_exact": q_ngram_containment_exact,
         "dup_clusters": q_dup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "best_survivors": q_best_survivors,
+        # --- 2 hash-fixed this round (HUGEINT->BIGINT oracle casts) -----
+        "json_extract_stats": q_json_extract_stats,
+        "batch_sessions": q_batch_sessions,
+        # --- 2 new this round --------------------------------------------
+        "pca_projection_violations": q_pca_projection_violations,
+        "lineage_trend_violations": q_lineage_trend_violations,
+        # --- 10-query core sample (pillars; all green r4) ----------------
+        "rule_dag_verdict": q_rule_dag_verdict,
+        "rule_dag_score_fanout": q_rule_dag_score_fanout,
+        "stats_onepass": q_stats_onepass,
+        "salted_stats": q_salted_stats,
+        "dup_keys": q_dup_keys,
+        "psi_drift": q_psi_drift,
+        "asof_join_skewed": q_asof_join_skewed,
+        "ann_bruteforce": q_ann_bruteforce,
+        "minhash_precision_violations": q_minhash_precision_violations,
+        "incremental_dedup_violations": q_incremental_dedup_violations,
+        # ---------------- position 51+ (driver-green in r3/r4) -----------
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "case_when_matrix": q_case_when_matrix,
+        "inner_join": q_inner_join,
+        "left_outer_join": q_left_outer_join,
+        "full_outer_join": q_full_outer_join,
+        "cross_join_small": q_cross_join_small,
+        "broadcast_join": q_broadcast_join,
+        "left_anti": q_left_anti,
+        "left_anti_big_dim": q_left_anti_big_dim,
+        "left_semi": q_left_semi,
+        "topk": q_topk,
+        "window_topk_per_group": q_window_topk_per_group,
+        "exact_percentiles": q_exact_percentiles,
+        "sort_limit": q_sort_limit,
+        "distinct": q_distinct,
+        "union_distinct": q_union_distinct,
+        "except_all": q_except_all,
+        "rollup_grouping": q_rollup_grouping,
+        "monthly_rollup": q_monthly_rollup,
+        "event_gaps": q_event_gaps,
+        "rolling_aggs": q_rolling_aggs,
+        "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "range_join": q_range_join,
+        "interval_overlap_join": q_interval_overlap_join,
+        "sha256": q_sha256,
+        "token_counts": q_token_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "hashing_vector_violations": q_hashing_vector_violations,
+        "bm25_scores": q_bm25_scores,
+        "source_profile": q_source_profile,
+        "js_drift": q_js_drift,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "word_entropy": q_word_entropy,
+        "simhash_precision_violations": q_simhash_precision_violations,
+        "ivf_full_probe": q_ivf_full_probe,
+        "ivf_consistency_violations": q_ivf_consistency_violations,
+        "embedding_near_dups": q_embedding_near_dups,
+        "stream_window_counts": q_stream_window_counts,
+        "multimodal_bytes": q_multimodal_bytes,
+        "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
+        "ngram_jaccard_exact": q_ngram_jaccard_exact,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / trained IVF cells have no cross-engine twin); each
         # is covered by an oracle-checked invariant twin above
@@ -2351,11 +2460,14 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events WHERE user_id < 40),
             s AS (
               SELECT user_id, event_id, ts,
-                     sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+                     -- CAST: DuckDB integer sum() yields HUGEINT, which
+                     -- fetchdf materializes as float64 and breaks the
+                     -- driver's int64 value hash (CORRECTNESS_r04)
+                     CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
                               THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS session_id
+                                      AND CURRENT ROW) AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(event_id) AS first_event, max(event_id) AS last_event,
@@ -2375,8 +2487,11 @@ def _oracle_sql_base() -> dict[str, str]:
                      END AS k
               FROM src)
             SELECT event_type, count(*) AS n,
-                   sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_malformed,
-                   sum(k) AS sum_k, max(k) AS max_k
+                   -- CAST: HUGEINT sums arrive float64 via fetchdf vs
+                   -- Spark's int64 (driver hash-fail root cause, r04)
+                   CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_malformed,
+                   CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
             FROM parsed GROUP BY event_type
         """,
         "rolling_aggs": """
@@ -2619,6 +2734,58 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS exact_cos,
                    CAST(NULL AS DOUBLE) AS hash_cos
             WHERE 1 = 0
+        """,
+        # invariant twin: orthonormal full-rank basis preserves pairwise
+        # distances; k<d projection contracts them — violations empty
+        "pca_projection_violations": """
+            SELECT CAST(NULL AS BIGINT) AS ida, CAST(NULL AS BIGINT) AS idb,
+                   CAST(NULL AS DOUBLE) AS exact_d2,
+                   CAST(NULL AS DOUBLE) AS full_d2,
+                   CAST(NULL AS DOUBLE) AS low_d2
+            WHERE 1 = 0
+        """,
+        # full replay of dff/checkpoint.py:trend_violations over the same
+        # deterministic two-snapshot lineage derived from orders
+        "lineage_trend_violations": """
+            WITH b AS (
+              SELECT CAST(o_orderkey % 24 AS INT) AS partition_id,
+                     count(*) AS base_rows,
+                     CAST(sum(CASE WHEN o_orderkey % 11 = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS base_viol
+              FROM orders GROUP BY 1),
+            c AS (
+              SELECT CAST(o_orderkey % 24 AS INT) AS partition_id,
+                     count(*) AS cur_rows,
+                     CAST(sum(CASE WHEN o_orderkey % 11 = 0
+                                   THEN CASE WHEN o_orderkey % 24 = 11
+                                             THEN 3 ELSE 1 END
+                                   ELSE 0 END) AS BIGINT) AS cur_viol
+              FROM orders
+              WHERE NOT (o_orderkey % 24 = 7 AND o_orderkey % 5 < 2)
+                AND o_orderkey % 24 <> 19
+              GROUP BY 1),
+            j AS (
+              SELECT coalesce(b.partition_id, c.partition_id) AS partition_id,
+                     base_rows, cur_rows, base_viol, cur_viol
+              FROM b FULL OUTER JOIN c ON b.partition_id = c.partition_id)
+            SELECT partition_id, "check",
+                   base_rows, cur_rows, base_viol, cur_viol
+            FROM (
+              SELECT *,
+                     CASE WHEN base_rows IS NOT NULL AND cur_rows IS NULL
+                               THEN 'missing_partition'
+                          WHEN base_rows IS NOT NULL AND base_rows > 0
+                               AND (base_rows - cur_rows) * 1.0 / base_rows > 0.1
+                               THEN 'row_drop'
+                          WHEN base_viol IS NOT NULL AND base_viol > 0
+                               AND cur_rows IS NOT NULL
+                               AND ((cur_viol * 1.0 / cur_rows)
+                                    - (base_viol * 1.0 / base_rows))
+                                   / (base_viol * 1.0 / base_rows) > 0.5
+                               THEN 'violation_rise'
+                     END AS "check"
+              FROM j)
+            WHERE "check" IS NOT NULL
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),

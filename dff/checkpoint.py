@@ -162,12 +162,28 @@ def plan_pending(
     )
 
 
+def _latest_per_partition(df: DataFrame) -> DataFrame:
+    """One lineage row per partition_id: latest completed_at wins, with
+    dag_version as a deterministic tie-break.  A snapshot validated under
+    more than one dag_version stores one row per version; joining raw rows
+    on partition_id alone would fan out (ADVICE r04)."""
+    w = Window.partitionBy("partition_id").orderBy(
+        F.col("completed_at").desc(), F.col("dag_version").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def metric_regressions(
     store: "CheckpointStore",
     current_snapshot: str,
     baseline_snapshot: str,
     max_row_drop: float = 0.1,
     max_violation_rise: float = 0.5,
+    dag_version: str | None = None,
 ) -> DataFrame:
     """Snapshot-over-snapshot TREND constraints from the lineage table:
     per partition, row count must not fall more than ``max_row_drop``
@@ -181,25 +197,45 @@ def metric_regressions(
     with the breached check named.  Partitions new in the current snapshot
     pass (no baseline evidence); partitions that VANISHED are reported as
     ``missing_partition``.
+
+    ``dag_version``: restrict both snapshots to one rule-DAG version; when
+    None, the latest row per partition wins (a snapshot re-validated under
+    a newer DAG contributes exactly one row — never a join fan-out).
     """
-    cur = (
-        store.read()
-        .where(F.col("snapshot_id") == current_snapshot)
-        .select(
-            "partition_id",
-            F.col("rows").alias("cur_rows"),
-            F.col("violations").alias("cur_viol"),
-        )
+    lineage = store.read()
+    if dag_version is not None:
+        lineage = lineage.where(F.col("dag_version") == dag_version)
+    cur = _latest_per_partition(
+        lineage.where(F.col("snapshot_id") == current_snapshot)
+    ).select(
+        "partition_id",
+        F.col("rows").alias("cur_rows"),
+        F.col("violations").alias("cur_viol"),
     )
-    base = (
-        store.read()
-        .where(F.col("snapshot_id") == baseline_snapshot)
-        .select(
-            "partition_id",
-            F.col("rows").alias("base_rows"),
-            F.col("violations").alias("base_viol"),
-        )
+    base = _latest_per_partition(
+        lineage.where(F.col("snapshot_id") == baseline_snapshot)
+    ).select(
+        "partition_id",
+        F.col("rows").alias("base_rows"),
+        F.col("violations").alias("base_viol"),
     )
+    return trend_violations(base, cur, max_row_drop, max_violation_rise)
+
+
+def trend_violations(
+    base: DataFrame,
+    cur: DataFrame,
+    max_row_drop: float = 0.1,
+    max_violation_rise: float = 0.5,
+) -> DataFrame:
+    """Core trend gate over two per-partition metric frames:
+    ``base(partition_id, base_rows, base_viol)`` vs
+    ``cur(partition_id, cur_rows, cur_viol)``.  One full-outer join +
+    first-match CASE (missing_partition > row_drop > violation_rise) —
+    plain relational algebra, oracle-replayable in ANSI SQL
+    (``lineage_trend_violations`` in __spark_entry__).  Factored out of
+    :func:`metric_regressions` so callers with lineage frames from other
+    stores reuse the exact semantics."""
     j = base.join(cur, "partition_id", "full_outer")
     row_drop = (F.col("base_rows") - F.col("cur_rows")) / F.col("base_rows")
     cur_rate = F.col("cur_viol") / F.col("cur_rows")

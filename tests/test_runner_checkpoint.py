@@ -306,3 +306,31 @@ def test_metric_regressions_trend_checks(spark, tmp_path):
     got3 = {r["partition_id"]: r["check"] for r in
             metric_regressions(store, "s3", "s2").collect()}
     assert got3[0] == "violation_rise" and got3[2] == "missing_partition"
+
+
+def test_metric_regressions_multi_dag_version_no_fanout(spark, tmp_path):
+    """A snapshot validated under two dag_versions stores one lineage row
+    per version; the trend join must NOT fan out (ADVICE r04) — latest
+    completed_at wins, or an explicit dag_version filters."""
+    import datetime as dt
+
+    from dff.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore, metric_regressions
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 1, 2)
+    rows = []
+    for snap, n_pid2 in (("base", 1000), ("cur", 500)):
+        for ver, ts, viol in (("v1", t0, 10), ("v2", t1, 12)):
+            for pid in range(4):
+                n = n_pid2 if pid == 2 else 1000
+                rows.append((snap, "mod4", pid, ver, n, viol, "pass", {}, ts))
+    store.append(spark.createDataFrame(rows, CHECKPOINT_SCHEMA))
+
+    out = metric_regressions(store, "cur", "base").collect()
+    assert len(out) == 1  # one row per breached partition, never 2x2 fan-out
+    assert (out[0]["partition_id"], out[0]["check"]) == (2, "row_drop")
+    assert out[0]["base_viol"] == 12  # latest dag_version (v2) won
+
+    pinned = metric_regressions(store, "cur", "base", dag_version="v1").collect()
+    assert len(pinned) == 1 and pinned[0]["base_viol"] == 10

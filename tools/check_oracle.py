@@ -69,19 +69,33 @@ def main() -> None:
         odf = con.execute(oracles[name]).fetchdf()
         s, o = normalize(sdf), normalize(odf)
         rows_ok = len(s) == len(o)
-        # driver parity: compare column NAMES and VALUES; exact dtype
-        # (int32 vs int64, timestamp unit) is not part of the driver hash
+        # driver parity: compare column NAMES and VALUES; exact width
+        # (int32 vs int64, timestamp unit) is not part of the driver hash —
+        # but int-vs-float IS: DuckDB HUGEINT sums fetchdf as float64 and
+        # the driver hashes 5 != 5.0 (CORRECTNESS_r04 json_extract_stats /
+        # batch_sessions). Flag that class here so local green predicts
+        # driver green.
         schema_ok = list(s.columns) == list(o.columns)
         vals_ok = False
+        detail = ""
         if rows_ok and schema_ok:
-            try:
-                pd.testing.assert_frame_equal(
-                    s, o, check_dtype=False, check_exact=False, rtol=1e-9
+            kind_bad = [
+                c for c in s.columns
+                if {s[c].dtype.kind, o[c].dtype.kind} == {"i", "f"}
+            ]
+            if kind_bad:
+                detail = (
+                    f"int-vs-float dtype divergence on {kind_bad} "
+                    "(DuckDB HUGEINT sum? CAST(... AS BIGINT) in the oracle)"
                 )
-                vals_ok = True
-            except AssertionError as e:
-                vals_ok = False
-                detail = str(e).splitlines()[0]
+            else:
+                try:
+                    pd.testing.assert_frame_equal(
+                        s, o, check_dtype=False, check_exact=False, rtol=1e-9
+                    )
+                    vals_ok = True
+                except AssertionError as e:
+                    detail = str(e).splitlines()[0]
         status = "OK" if (rows_ok and schema_ok and vals_ok) else "FAIL"
         if status == "FAIL":
             failures += 1
