@@ -113,22 +113,11 @@ class CheckpointStore:
         object-store deployment swaps this for an Iceberg commit
         (two-line change, see module ADR).
         """
-        import uuid
-
-        token = uuid.uuid4().hex
-        staging = f"{self.path}/.staging-{token}"
-        final = f"{self.path}/batch-{token}"
-        df.select(*[f.name for f in CHECKPOINT_SCHEMA.fields]).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(staging)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(final)):
-            raise IOError(
-                f"atomic commit of checkpoint batch failed: "
-                f"rename({staging} -> {final}) returned false"
-            )
+        _atomic_publish(
+            self.spark,
+            self.path,
+            df.select(*[f.name for f in CHECKPOINT_SCHEMA.fields]),
+        )
 
     def completed_partitions(self, snapshot_id: str, dag_version: str) -> DataFrame:
         return (
@@ -140,6 +129,95 @@ class CheckpointStore:
             .select("partition_id")
             .distinct()
         )
+
+
+def _atomic_publish(spark: SparkSession, path: str, df: DataFrame) -> str:
+    """Stage->rename commit shared by CheckpointStore and ViolationsSink:
+    write ``df`` to a hidden ``.staging-*`` dir under ``path``, then
+    atomically rename it to a visible ``batch-*`` dir (Hadoop FileSystem
+    API — atomic on POSIX/HDFS; an object store swaps this for an
+    Iceberg/Delta commit).  Returns the batch token."""
+    import uuid
+
+    token = uuid.uuid4().hex
+    staging = f"{path}/.staging-{token}"
+    final = f"{path}/batch-{token}"
+    df.write.mode("overwrite").parquet(staging)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(final)):
+        raise IOError(
+            f"atomic commit failed: rename({staging} -> {final}) "
+            "returned false"
+        )
+    return token
+
+
+class ViolationsSink:
+    """Atomic, batch-committed violations table (VERDICT r04 #7): the
+    runner's violations output gets the SAME crash contract as the
+    checkpoint store.
+
+    The prior realization (dynamic partition overwrite) had a torn
+    window: the cross-partition commit is not atomic, so a reader racing
+    a crash could observe partition A replaced but partition B still old,
+    plus half-materialized files on local/object stores without an atomic
+    committer.  Here every ``write`` stages to a hidden ``.staging-*``
+    dir and atomically renames to ``batch-*`` — readers see a whole batch
+    or none of it.
+
+    Replacement semantics are read-side last-writer-wins PER PARTITION
+    (mirroring CheckpointStore): each batch stamps a constant
+    (``__written_at``, ``__batch_id``) pair; ``read`` keeps, for every
+    ``part_col`` value, only rows from the newest batch containing that
+    partition.  A crash between the violations write and the checkpoint
+    append re-validates those partitions on resume, and their newer batch
+    supersedes the orphan — idempotent, never duplicated.
+
+    Scale: the winners frame is one row per partition (tiny, broadcast),
+    so ``read`` adds a map-side semi join — the violation rows themselves
+    never shuffle.  On a real lakehouse this class maps to Iceberg's
+    REPLACE PARTITIONS / Delta's replaceWhere commit.
+    """
+
+    TS_COL = "__written_at"
+    BATCH_COL = "__batch_id"
+
+    def __init__(self, spark: SparkSession, path: str, part_col: str):
+        self.spark = spark
+        self.path = path
+        self.part_col = part_col
+
+    def write(self, violations: DataFrame) -> None:
+        import uuid
+
+        token = uuid.uuid4().hex
+        stamped = violations.withColumn(
+            # current_timestamp is evaluated once per query -> one constant
+            # instant per batch, the batch's commit version
+            self.TS_COL, F.current_timestamp()
+        ).withColumn(self.BATCH_COL, F.lit(token))
+        _atomic_publish(self.spark, self.path, stamped)
+
+    def read(self) -> DataFrame:
+        df = self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self.path
+        )
+        winners = (
+            df.groupBy(self.part_col)
+            .agg(F.max(F.struct(self.TS_COL, self.BATCH_COL)).alias("__w"))
+            .select(
+                self.part_col,
+                F.col(f"__w.{self.TS_COL}").alias(self.TS_COL),
+                F.col(f"__w.{self.BATCH_COL}").alias(self.BATCH_COL),
+            )
+        )
+        return df.join(
+            F.broadcast(winners),
+            [self.part_col, self.TS_COL, self.BATCH_COL],
+            "left_semi",
+        ).drop(self.TS_COL, self.BATCH_COL)
 
 
 def plan_pending(

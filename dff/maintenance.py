@@ -50,7 +50,16 @@ def compact_parquet_dir(
 
     Local-FS staging/swap here; on a real lakehouse this maps to
     Iceberg's rewrite-data-files action, which swaps file sets in one
-    snapshot commit instead of a directory rename."""
+    snapshot commit instead of a directory rename.
+
+    Swap-window contract (ADVICE r04): any failure BEFORE the first
+    rename leaves the original untouched (staging is hidden).  The swap
+    itself is two renames; if the second fails the first is rolled back
+    (backup -> path), so callers always find the dataset at ``path``.
+    The unrecoverable case is the process dying BETWEEN the renames —
+    that window is two metadata ops wide and the data survives intact
+    under the adjacent ``<path>.old-*`` name; a real table format closes
+    even that window with an atomic pointer commit."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     n_files = max(1, -(-dir_bytes(path) // target_file_bytes))
@@ -63,6 +72,10 @@ def compact_parquet_dir(
     out.write.mode("overwrite").parquet(staging)
     backup = path.rstrip("/") + f".old-{uuid.uuid4().hex}"
     os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # roll the swap back: dataset never vanishes
+        raise
     shutil.rmtree(backup)
     return data_file_count(path)

@@ -236,6 +236,13 @@ def fences_as_rule(
     Grouped fences compile to a ``CASE group WHEN ... END`` pair; rows in
     groups unseen at derivation time get NULL bounds and are NOT flagged
     (no evidence, no violation).  The bounds collect is one row per group.
+
+    Degenerate inputs (ADVICE r04): an EMPTY derivation frame (or, when
+    grouped, one where every group's values are all NULL) carries no
+    evidence to derive fences from — that's a caller error, raised as
+    ``ValueError`` rather than silently compiling a never/always-firing
+    predicate.  Individual all-NULL groups in an otherwise usable frame
+    are skipped, same no-evidence-no-violation semantics as unseen groups.
     """
     rows = group_bounds_iqr(df, value_col, [group_col] if group_col else [],
                             k, exact, delta).collect()
@@ -243,17 +250,29 @@ def fences_as_rule(
     def esc(v) -> str:
         return "'" + str(v).replace("'", "''") + "'"
 
+    def usable(r) -> bool:
+        return r["__lo"] is not None and r["__hi"] is not None
+
     if group_col is None:
+        if not rows or not usable(rows[0]):
+            raise ValueError(
+                f"fences_as_rule: no non-NULL {value_col!r} values to "
+                "derive fences from"
+            )
         lo, hi = rows[0]["__lo"], rows[0]["__hi"]
         pred = f"{value_col} < {lo!r} or {value_col} > {hi!r}"
     else:
+        arms = [r for r in rows if r[group_col] is not None and usable(r)]
+        if not arms:
+            raise ValueError(
+                f"fences_as_rule: no group of {group_col!r} has non-NULL "
+                f"{value_col!r} values to derive fences from"
+            )
         lo_arms = " ".join(
-            f"WHEN {esc(r[group_col])} THEN {r['__lo']!r}"
-            for r in rows if r[group_col] is not None
+            f"WHEN {esc(r[group_col])} THEN {r['__lo']!r}" for r in arms
         )
         hi_arms = " ".join(
-            f"WHEN {esc(r[group_col])} THEN {r['__hi']!r}"
-            for r in rows if r[group_col] is not None
+            f"WHEN {esc(r[group_col])} THEN {r['__hi']!r}" for r in arms
         )
         pred = (
             f"{value_col} < (CASE {group_col} {lo_arms} END) "

@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import CheckpointStore, plan_pending
+from .checkpoint import CheckpointStore, ViolationsSink, plan_pending
 from .compiler import ScorerRegistry, compile_ruleset
 from .drift import DriftSpec, drift_from_histograms, partition_histograms
 from .ruleset import RuleSet
@@ -406,12 +406,14 @@ class ValidationRunner:
             return None
         result = self.validate(pending)
         if violations_path:
-            # partition-grained output, dynamic overwrite: a crash between
-            # this write and store.append re-validates those partitions on
-            # resume, and their re-written output REPLACES (not duplicates)
-            # the prior rows — idempotent per-partition semantics.
-            result.violations.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy(cfg.part_col).parquet(violations_path)
+            # atomic batch publish (staged-rename, same contract as the
+            # checkpoint store) with read-side per-partition last-writer-
+            # wins: a crash between this write and store.append
+            # re-validates those partitions on resume and the newer batch
+            # REPLACES (never duplicates) the orphan; a crash mid-write
+            # leaves only an invisible .staging-* dir (VERDICT r04 #7).
+            ViolationsSink(
+                result.violations.sparkSession, violations_path, cfg.part_col
+            ).write(result.violations)
         store.append(self.checkpoint_rows(result.partition_metrics, cfg.ruleset.version))
         return result

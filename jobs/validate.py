@@ -188,7 +188,13 @@ def main(argv: list[str] | None = None) -> dict:
 
         def write_violations():
             if args.violations:
-                result.violations.write.mode("overwrite").parquet(args.violations)
+                # same atomic batch commit the resumable path uses — a
+                # crash mid-write leaves only a hidden .staging-* dir
+                from dff.checkpoint import ViolationsSink
+
+                ViolationsSink(spark, args.violations, cfg.part_col).write(
+                    result.violations
+                )
             else:
                 result.violations.write.format("noop").mode("overwrite").save()
 

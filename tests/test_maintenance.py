@@ -47,3 +47,25 @@ def test_compaction_sort_cols_and_validation(spark, tmp_path):
     assert vals == sorted(vals)
     with pytest.raises(ValueError, match="positive"):
         compact_parquet_dir(spark, path, target_file_bytes=0)
+
+
+def test_failed_swap_rolls_back_to_original(spark, tmp_path, monkeypatch):
+    """If the staging->path rename fails, the original directory must be
+    restored (ADVICE r04: the dataset may never vanish mid-swap)."""
+    import dff.maintenance as m
+
+    path = str(tmp_path / "ds")
+    spark.range(1000).repartition(4).write.parquet(path)
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if ".compact-" in src:  # the staging->path swap step
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(m.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        compact_parquet_dir(spark, path, target_file_bytes=64 << 20)
+    monkeypatch.undo()
+    # original dataset is back at path, intact
+    assert spark.read.parquet(path).count() == 1000

@@ -183,3 +183,32 @@ def test_fences_as_rule_flags_same_rows_through_runner(spark):
         r["eid"] for r in iqr_outliers(e, "value", ["event_type"]).collect()
     }
     assert flagged == direct and len(flagged) > 0
+
+
+def test_fences_as_rule_degenerate_inputs(spark):
+    """Empty frame / all-NULL values raise; an individual all-NULL group
+    is skipped with no-evidence-no-violation semantics (ADVICE r04)."""
+    import pytest
+    from pyspark.sql import types as T
+    from dff.outliers import fences_as_rule
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        fences_as_rule(empty, "value")
+    all_null = spark.createDataFrame([("a", None), ("b", None)], schema)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        fences_as_rule(all_null, "value")
+    with pytest.raises(ValueError, match="no group"):
+        fences_as_rule(all_null, "value", "g")
+    # group b has only NULLs -> skipped; the rule fires only on group a
+    mixed = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)] + [("a", 100.0), ("b", None)],
+        schema,
+    )
+    rule = fences_as_rule(mixed, "value", "g")
+    assert "None" not in rule["name"] and "'b'" not in rule["name"]
+    assert "'a'" in rule["name"]

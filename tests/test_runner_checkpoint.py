@@ -122,8 +122,10 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
     }.isdisjoint(done)
 
     # final state identical to a fresh full run: same violation multiset
+    from dff.checkpoint import ViolationsSink
+
     full = runner.validate(df)
-    resumed = spark.read.parquet(str(tmp_path / "viol"))
+    resumed = ViolationsSink(spark, str(tmp_path / "viol"), "part_id").read()
     a = sorted(
         (r["repo"], r["path"], r["commit"], r["constraint_id"])
         for r in resumed.select("repo", "path", "commit", "constraint_id").collect()
@@ -140,33 +142,35 @@ def test_resume_skips_completed_partitions(spark, tmp_path):
 
 
 def test_crash_between_violations_write_and_checkpoint_append(spark, tmp_path):
-    """Crash-window idempotency (VERDICT r02 §next-5): a run that dies
-    AFTER writing violations but BEFORE appending checkpoint rows must,
-    on resume, re-validate those partitions and REPLACE their output via
-    dynamic partition overwrite — never duplicate it."""
+    """Crash-window idempotency (VERDICT r02 §next-5, r04 #7): a run that
+    dies AFTER writing violations but BEFORE appending checkpoint rows
+    must, on resume, re-validate those partitions and REPLACE their
+    output via the sink's per-partition last-writer-wins — never
+    duplicate it."""
+    from dff.checkpoint import ViolationsSink
+
     n = 4000
     df = synthetic_source_files(spark, n, n_repos=100).cache()
     store = CheckpointStore(spark, str(tmp_path / "ckpt"))
     runner = make_runner(spark, df, snapshot_id="snap-C")
     viol_path = str(tmp_path / "viol")
     cfg = runner.config
+    sink = ViolationsSink(spark, viol_path, cfg.part_col)
 
     # crashed attempt: replicate run()'s violations write for the full
     # input, then "die" before store.append
     crashed = runner.validate(df)
-    crashed.violations.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy(cfg.part_col).parquet(viol_path)
-    n_crashed = spark.read.parquet(viol_path).count()
+    sink.write(crashed.violations)
+    n_crashed = sink.read().count()
     assert n_crashed > 0  # planted violations exist
     # no checkpoint row made it out
     assert store.completed_partitions("snap-C", "dag-v1").count() == 0
 
     # resume: every partition is still pending, so the full table
-    # re-validates and its output replaces the crashed attempt's rows
+    # re-validates and its newer batch supersedes the crashed attempt's
     r = runner.run(df, store, violations_path=viol_path)
     assert r is not None
-    resumed = spark.read.parquet(viol_path)
+    resumed = sink.read()
     assert resumed.count() == n_crashed  # replaced, not appended
 
     # and the multiset matches a fresh in-memory validation exactly
@@ -334,3 +338,41 @@ def test_metric_regressions_multi_dag_version_no_fanout(spark, tmp_path):
 
     pinned = metric_regressions(store, "cur", "base", dag_version="v1").collect()
     assert len(pinned) == 1 and pinned[0]["base_viol"] == 10
+
+def test_torn_violations_write_invisible_to_reads(spark, tmp_path):
+    """VERDICT r04 #7 (mirror of the checkpoint torn-append test): a
+    violations writer killed mid-write leaves only a hidden .staging-*
+    dir — readers never see a half-visible result set, and later batches
+    still commit atomically alongside the orphan."""
+    import os
+
+    from dff.checkpoint import ViolationsSink
+
+    path = str(tmp_path / "viol")
+    sink = ViolationsSink(spark, path, "part_id")
+    b1 = spark.createDataFrame(
+        [(0, "r1", "bad row"), (0, "r2", "bad row"), (1, "r3", "bad row")],
+        ["part_id", "repo", "constraint_id"],
+    )
+    sink.write(b1)
+    assert sink.read().count() == 3
+    entries = sorted(os.listdir(path))
+    assert any(e.startswith("batch-") for e in entries), entries
+    assert not any(e.startswith("part-") for e in entries), entries
+
+    # torn write: a staging dir holding a truncated/corrupt parquet file
+    torn = tmp_path / "viol" / ".staging-deadbeef"
+    torn.mkdir()
+    (torn / "part-00000.snappy.parquet").write_bytes(b"PAR1\x00torn")
+    assert sink.read().count() == 3  # hidden dir skipped, no footer error
+
+    # partition 1 re-validated -> its newer batch supersedes; partition 0
+    # untouched by the new batch stays visible from the old one
+    b2 = spark.createDataFrame(
+        [(1, "r3", "worse row")], ["part_id", "repo", "constraint_id"]
+    )
+    sink.write(b2)
+    got = {(r["part_id"], r["repo"], r["constraint_id"])
+           for r in sink.read().collect()}
+    assert got == {(0, "r1", "bad row"), (0, "r2", "bad row"),
+                   (1, "r3", "worse row")}
