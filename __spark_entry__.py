@@ -2722,8 +2722,8 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "zorder_roundtrip": """
             SELECT count(*) AS n_rows,
-                   sum(user_id) AS sum_user,
-                   sum(event_id) AS sum_event,
+                   CAST(sum(user_id) AS BIGINT) AS sum_user,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event,
                    CAST(round(CAST(sum(value) AS DECIMAL(28,10)), 3)
                         AS DOUBLE) AS sum_value,
                    count(DISTINCT event_type) AS n_types
@@ -2978,10 +2978,10 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "pivot_counts": """
             SELECT lang,
-                   sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
-                   sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
-                   sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
-                   sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3
+                   CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+                   CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+                   CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+                   CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
             FROM documents
             WHERE source IN ('src0', 'src1', 'src2', 'src3')
             GROUP BY lang

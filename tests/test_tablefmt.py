@@ -1,0 +1,208 @@
+"""Table format (dff/tablefmt.py): atomic snapshot commits, footer stats,
+manifest-level pruning, COW delete, atomic compaction, time travel,
+schema evolution, optimistic concurrency, snapshot expiry, orphan GC."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dff.tablefmt import CommitConflict, Table, _footer_stats, _may_match
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"), SCHEMA)
+    return t
+
+
+def test_append_scan_roundtrip(spark, tbl):
+    tbl.append(frame(spark, 0, 100), n_files=2)
+    tbl.append(frame(spark, 100, 250), n_files=3)
+    got = tbl.scan(spark)
+    assert got.count() == 250
+    assert sorted(got.columns) == ["grp", "k", "v"]
+    assert got.agg(F.sum("k")).first()[0] == sum(range(250))
+
+
+def test_time_travel_and_history(spark, tbl):
+    v1 = tbl.append(frame(spark, 0, 10))
+    v2 = tbl.append(frame(spark, 10, 30))
+    assert tbl.scan(spark, version=v1).count() == 10
+    assert tbl.scan(spark, version=v2).count() == 30
+    ops = [h["operation"] for h in tbl.history()]
+    assert ops == ["create", "append", "append"]
+
+
+def test_footer_stats_match_data(spark, tbl):
+    tbl.append(frame(spark, 5, 42), n_files=1)
+    [e] = tbl.entries()
+    assert e["rows"] == 37
+    assert e["stats"]["k"] == {"min": 5, "max": 41, "nulls": 0}
+    assert e["stats"]["grp"]["min"] == "g0"
+    rows, nbytes, stats = _footer_stats(os.path.join(tbl.root, e["path"]))
+    assert rows == 37 and nbytes == e["bytes"] and stats == e["stats"]
+
+
+def test_scan_pruning_opens_fewer_files(spark, tbl):
+    # each append covers a disjoint k-range -> its files are prunable
+    for lo in range(0, 1000, 250):
+        tbl.append(frame(spark, lo, lo + 250), n_files=2)
+    total = tbl.scan_file_count()
+    assert total == 8
+    pruned = tbl.scan_file_count([("k", "between", (300, 320))])
+    assert pruned <= 2
+    got = tbl.scan(spark, [("k", "between", (300, 320))])
+    assert got.count() == 21
+    assert got.agg(F.min("k"), F.max("k")).first() == (300, 320)
+    # equality + in + inequality prune too, and return exact rows
+    assert tbl.scan_file_count([("k", "=", 999)]) <= 2
+    assert tbl.scan(spark, [("k", "=", 999)]).count() == 1
+    assert tbl.scan(spark, [("k", ">=", 990)]).count() == 10
+    assert tbl.scan(spark, [("k", "in", (0, 999))]).count() == 2
+    # conjunction: grp never prunes (all files carry g0..g3), k does
+    both = tbl.scan(spark, [("k", "<", 100), ("grp", "=", "g1")])
+    assert both.count() == 25
+
+
+def test_may_match_all_null_column():
+    e = {"rows": 10, "stats": {"x": {"min": None, "max": None, "nulls": 10}}}
+    assert not _may_match(e, [("x", "=", 1)])
+    e2 = {"rows": 10, "stats": {}}
+    assert _may_match(e2, [("x", "=", 1)])  # no stats -> cannot prune
+
+
+def test_cow_delete_rewrites_only_hit_files(spark, tbl):
+    for lo in range(0, 400, 100):
+        tbl.append(frame(spark, lo, lo + 100), n_files=1)
+    before = {e["path"] for e in tbl.entries()}
+    tbl.delete_where(spark, [("k", "between", (150, 249))])
+    after = {e["path"] for e in tbl.entries()}
+    # files for [0,100) and [300,400) carried by reference, not rewritten
+    assert len(before & after) == 2
+    got = tbl.scan(spark)
+    assert got.count() == 300
+    assert got.where(F.col("k").between(150, 249)).count() == 0
+    # old snapshot still sees the deleted rows (time travel)
+    assert tbl.scan(spark, version=4).count() == 400
+
+
+def test_delete_nothing_is_noop(spark, tbl):
+    v = tbl.append(frame(spark, 0, 50))
+    assert tbl.delete_where(spark, [("k", ">", 10_000)]) == v
+
+
+def test_compact_single_commit(spark, tbl):
+    for lo in range(0, 500, 50):
+        tbl.append(frame(spark, lo, lo + 50), n_files=1)
+    assert tbl.scan_file_count() == 10
+    old_tip = tbl._latest_version()
+    tbl.compact(spark, target_file_bytes=1 << 30)
+    assert tbl.scan_file_count() == 1
+    got = tbl.scan(spark)
+    assert got.count() == 500
+    assert got.agg(F.sum("k")).first()[0] == sum(range(500))
+    # pre-compaction snapshot intact: no swap window, old file set readable
+    assert tbl.scan(spark, version=old_tip).count() == 500
+    assert [h["operation"] for h in tbl.history()][-1] == "compact"
+
+
+def test_crashed_writer_invisible_then_gc(spark, tbl):
+    tbl.append(frame(spark, 0, 10))
+    # simulate a writer dying after materializing data but before commit
+    tbl._materialize(frame(spark, 10, 20))
+    assert tbl.scan(spark).count() == 10  # orphans never observed
+    assert tbl.gc_orphans(grace_seconds=0) >= 1
+    assert tbl.scan(spark).count() == 10
+
+
+def test_commit_conflict_and_append_rebase(spark, tbl):
+    tbl.append(frame(spark, 0, 10))
+    # a rewrite racing another committer must fail loudly...
+    snap = tbl._snapshot()
+    tbl._commit(
+        {"operation": "append", "schema": snap["schema"],
+         "manifests": snap["manifests"]},
+        expected_parent=snap["version"],
+    )
+    with pytest.raises(CommitConflict):
+        tbl._commit(
+            {"operation": "delete", "schema": snap["schema"],
+             "manifests": []},
+            expected_parent=snap["version"],
+        )
+    # ...but append() rebases onto the new tip and lands
+    v = tbl.append(frame(spark, 10, 20))
+    assert v == tbl._latest_version()
+    assert tbl.scan(spark).count() == 20
+
+
+def test_schema_evolution(spark, tbl):
+    tbl.append(frame(spark, 0, 10))
+    widened = frame(spark, 10, 20).withColumn("note", F.lit("new"))
+    with pytest.raises(ValueError):
+        tbl.append(widened)
+    tbl.append(widened, evolve=True)
+    got = tbl.scan(spark)
+    assert got.columns == ["k", "grp", "v", "note"]
+    assert got.where(F.col("note").isNull()).count() == 10  # old files -> NULL
+    # missing columns in a later append fill with NULL as well
+    tbl.append(frame(spark, 20, 25))
+    assert tbl.scan(spark).where(F.col("note").isNull()).count() == 15
+
+
+def test_rollback(spark, tbl):
+    v1 = tbl.append(frame(spark, 0, 10))
+    tbl.append(frame(spark, 10, 30))
+    tbl.rollback(v1)
+    assert tbl.scan(spark).count() == 10
+    assert [h["operation"] for h in tbl.history()][-1] == "rollback"
+
+
+def test_expire_snapshots_gc(spark, tbl):
+    tbl.append(frame(spark, 0, 10), n_files=1)
+    tbl.overwrite(frame(spark, 10, 20), n_files=1)
+    dropped = tbl.expire_snapshots(keep_last=1)
+    assert dropped["snapshots"] >= 2 and dropped["data_files"] >= 1
+    assert tbl.scan(spark).count() == 10
+    assert tbl.scan(spark).agg(F.min("k")).first()[0] == 10
+    with pytest.raises(FileNotFoundError):
+        tbl._snapshot(0)
+
+
+def test_version_hint_recovery(spark, tbl):
+    tbl.append(frame(spark, 0, 10))
+    os.remove(os.path.join(tbl.meta_dir, "_version_hint"))
+    assert tbl._latest_version() == 1  # recovered by listing the log
+    assert tbl.scan(spark).count() == 10
+
+
+def test_snapshot_json_is_small(spark, tbl):
+    """Tip metadata stays O(manifest names), not O(files): the commit a
+    1000-executor cluster serializes per append is kilobytes."""
+    for lo in range(0, 300, 100):
+        tbl.append(frame(spark, lo, lo + 100), n_files=4)
+    with open(tbl._snapshot_path(tbl._latest_version())) as f:
+        snap = json.load(f)
+    assert len(snap["manifests"]) == 3  # one fragment per commit
+    assert len(json.dumps(snap)) < 2000
