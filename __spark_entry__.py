@@ -2120,6 +2120,43 @@ def q_lineage_trend_violations(spark, sf_dir):
     return trend_violations(base, cur, max_row_drop=0.1, max_violation_rise=0.5)
 
 
+def q_table_time_travel(spark, sf_dir):
+    """Table format (dff/tablefmt.py) under the driver: documents land in
+    THREE atomic snapshot commits split by doc_id % 3; reading snapshot
+    version 2 (create=0, append=1, append=2) must see exactly the first
+    two commits — time travel as a row-set oracle (`WHERE doc_id % 3 <= 1`
+    in DuckDB).  The commit protocol itself (O_EXCL create, crash
+    invisibility, rebase-on-race) is pinned by tests/test_tablefmt.py."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    for r in range(3):
+        t.append(d.where(F.col("doc_id") % 3 == r), n_files=2)
+    return t.scan(spark, version=2).select("doc_id", "lang", "n_chars")
+
+
+def q_table_cow_delete(spark, sf_dir):
+    """Copy-on-write DELETE through the table format: four commits split
+    by doc_id % 4, then ``delete_where(lang = 'en')``; the survivor set
+    must equal ANSI ``DELETE WHERE lang = 'en'`` (NULL-lang rows survive —
+    predicate-NULL is not TRUE).  File-granularity carry-by-reference (only
+    stat-overlapping files rewritten) is pinned by tests/test_tablefmt.py;
+    here the driver checks the row-level semantics end to end."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    for r in range(4):
+        t.append(d.where(F.col("doc_id") % 4 == r), n_files=1)
+    t.delete_where(spark, [("lang", "=", "en")])
+    return t.scan(spark).select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2177,21 +2214,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 2 hash-fixed this round (HUGEINT->BIGINT oracle casts) -----
         "json_extract_stats": q_json_extract_stats,
         "batch_sessions": q_batch_sessions,
-        # --- 2 new this round --------------------------------------------
+        # --- 4 new this round --------------------------------------------
         "pca_projection_violations": q_pca_projection_violations,
         "lineage_trend_violations": q_lineage_trend_violations,
-        # --- 10-query core sample (pillars; all green r4) ----------------
+        "table_time_travel": q_table_time_travel,
+        "table_cow_delete": q_table_cow_delete,
+        # --- 8-query core sample (pillars; all green r4) -----------------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
         "stats_onepass": q_stats_onepass,
         "salted_stats": q_salted_stats,
         "dup_keys": q_dup_keys,
-        "psi_drift": q_psi_drift,
         "asof_join_skewed": q_asof_join_skewed,
-        "ann_bruteforce": q_ann_bruteforce,
         "minhash_precision_violations": q_minhash_precision_violations,
         "incremental_dedup_violations": q_incremental_dedup_violations,
         # ---------------- position 51+ (driver-green in r3/r4) -----------
+        "psi_drift": q_psi_drift,
+        "ann_bruteforce": q_ann_bruteforce,
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
         "case_when_matrix": q_case_when_matrix,
@@ -2786,6 +2825,18 @@ def _oracle_sql_base() -> dict[str, str]:
                      END AS "check"
               FROM j)
             WHERE "check" IS NOT NULL
+        """,
+        # table format: snapshot v2 = the first two of three doc_id%3
+        # commits; COW delete = ANSI DELETE (NULL-predicate rows survive)
+        "table_time_travel": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE doc_id % 3 <= 1
+        """,
+        "table_cow_delete": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE lang IS NULL OR lang <> 'en'
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),

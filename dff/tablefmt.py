@@ -481,10 +481,15 @@ class Table:
             return snap["version"]  # predicate provably matches nothing
         schema = T.StructType.fromJson(snap["schema"])
         paths = [os.path.join(self.root, e["path"]) for e in hit]
+        # DELETE removes rows where the predicate is TRUE; NULL-predicate
+        # rows (e.g. NULL in the filter column) survive — same semantics
+        # as ANSI DELETE WHERE and the manifest-level _may_match pruning
+        # (an all-NULL file is carried by reference, i.e. kept).
+        pred = _filters_to_column(filters)
         survivors = (
             spark.read.schema(schema)
             .parquet(*paths)
-            .where(~_filters_to_column(filters))
+            .where(~F.coalesce(pred, F.lit(False)))
         )
         new_entries = self._materialize(survivors)
         manifests = []

@@ -206,3 +206,16 @@ def test_snapshot_json_is_small(spark, tbl):
         snap = json.load(f)
     assert len(snap["manifests"]) == 3  # one fragment per commit
     assert len(json.dumps(snap)) < 2000
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """ANSI DELETE semantics: rows where the predicate is NULL are kept."""
+    t = Table.create(str(tmp_path / "tn"), SCHEMA)
+    df = frame(spark, 0, 20).withColumn(
+        "grp", F.when(F.col("k") < 5, F.lit(None)).otherwise(F.col("grp"))
+    )
+    t.append(df, n_files=1)
+    t.delete_where(spark, [("grp", "=", "g1")])
+    got = t.scan(spark)
+    assert got.where(F.col("grp").isNull()).count() == 5  # survived
+    assert got.where(F.col("grp") == "g1").count() == 0
