@@ -24,14 +24,15 @@ readers and resume are unaffected, closing the torn-file window the plain
 ``recursiveFileLookup`` so flat legacy part files and committed batch
 directories coexist.
 
-ADR (round 3): backing the store with a real table format was attempted —
-``import delta`` fails (delta-spark is not installed), no Iceberg runtime
-jar ships with this pyspark build, and the sandbox permits no package
-installs or network fetches, so an atomic-commit backend cannot run here.
-The store keeps the Iceberg-shaped API (read/append/completed_partitions)
-so swapping ``append`` to ``df.writeTo(...).append()`` on a real catalog
-is a two-line change; crash-window idempotency of the parquet stand-in is
-pinned by tests/test_runner_checkpoint.py.
+ADR (round 3, amended round 5): backing the store with Delta/Iceberg jars
+is impossible here (``import delta`` fails, no Iceberg runtime jar, no
+package installs) — so round 5 built the commit protocol itself:
+:class:`TableCheckpointStore` backs the SAME API with
+:class:`dff.tablefmt.Table`, whose snapshot commits are a single O_EXCL
+metadata-file create — true atomic appends with optimistic concurrency,
+no staging-rename window at all.  The directory-rename store remains for
+deployments wanting plain-parquet output; both pass the identical test
+matrix (tests/test_runner_checkpoint.py parametrizes over backends).
 """
 
 from __future__ import annotations
@@ -128,6 +129,45 @@ class CheckpointStore:
             )
             .select("partition_id")
             .distinct()
+        )
+
+
+class TableCheckpointStore(CheckpointStore):
+    """The lineage table on the engine's own table format
+    (:class:`dff.tablefmt.Table`): every ``append`` is one atomic snapshot
+    commit (O_EXCL metadata create, auto-rebasing on commit races), every
+    ``read`` is snapshot-isolated — the realization the round-3 ADR said
+    needed an Iceberg catalog, built from scratch instead.
+
+    Same read semantics as the directory store (last-writer-wins per
+    ``(snapshot_id, partition_id, dag_version)``), so resume planning,
+    trend gates, and the runner are backend-agnostic.  Extra surface the
+    log-structured backend adds for free: ``history()`` (one entry per
+    checkpoint commit — the audit log) and time travel via
+    ``table.scan(spark, version=...)``.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        super().__init__(spark, path)
+        from dff.tablefmt import Table
+
+        self.table = (
+            Table(path) if Table.exists(path)
+            else Table.create(path, CHECKPOINT_SCHEMA)
+        )
+
+    def read(self) -> DataFrame:
+        df = self.table.scan(self.spark)
+        w = Window.partitionBy("snapshot_id", "partition_id", "dag_version").orderBy(
+            F.col("completed_at").desc()
+        )
+        return df.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        ).drop("__rn")
+
+    def append(self, df: DataFrame) -> None:
+        self.table.append(
+            df.select(*[f.name for f in CHECKPOINT_SCHEMA.fields]), n_files=1
         )
 
 

@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dff.checkpoint import CheckpointStore, plan_pending
+import pytest
+
+from dff.checkpoint import CheckpointStore, TableCheckpointStore, plan_pending
 from dff.drift import CategoricalBins, DriftSpec, snapshot
 from dff.ruleset import parse_json
 from dff.runner import ReferentialCheck, ValidationConfig, ValidationRunner
@@ -97,10 +99,11 @@ def test_clean_table_passes(spark):
     assert verdicts and all(v == "pass" for v in verdicts)
 
 
-def test_resume_skips_completed_partitions(spark, tmp_path):
+@pytest.mark.parametrize("store_cls", [CheckpointStore, TableCheckpointStore])
+def test_resume_skips_completed_partitions(spark, tmp_path, store_cls):
     n = 4000
     df = synthetic_source_files(spark, n, n_repos=100).cache()
-    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    store = store_cls(spark, str(tmp_path / "ckpt"))
     runner = make_runner(spark, df, snapshot_id="snap-R")
 
     # simulate a run killed after validating partitions 0..7
@@ -151,7 +154,7 @@ def test_crash_between_violations_write_and_checkpoint_append(spark, tmp_path):
 
     n = 4000
     df = synthetic_source_files(spark, n, n_repos=100).cache()
-    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    store = TableCheckpointStore(spark, str(tmp_path / "ckpt"))
     runner = make_runner(spark, df, snapshot_id="snap-C")
     viol_path = str(tmp_path / "viol")
     cfg = runner.config
@@ -376,3 +379,35 @@ def test_torn_violations_write_invisible_to_reads(spark, tmp_path):
            for r in sink.read().collect()}
     assert got == {(0, "r1", "bad row"), (0, "r2", "bad row"),
                    (1, "r3", "worse row")}
+
+
+def test_table_checkpoint_store_atomicity_and_audit(spark, tmp_path):
+    """The table-format lineage backend (round-5 ADR amendment): a writer
+    dying after materializing parquet but before the snapshot commit is
+    INVISIBLE to readers and resume; every append is one auditable
+    history entry; reopening the same path resumes the same log."""
+    path = str(tmp_path / "ckpt")
+    store = TableCheckpointStore(spark, path)
+    row = spark.createDataFrame(
+        [("snap1", "spec", 0, "v1", 10, 0, "pass", {}, None)],
+        schema=store.read().schema,
+    ).withColumn("completed_at", F.current_timestamp())
+    store.append(row)
+    assert store.read().count() == 1
+    # dead writer: data file exists on disk but no snapshot references it
+    store.table._materialize(row.withColumn("partition_id", F.lit(9)))
+    assert store.read().count() == 1
+    assert store.completed_partitions("snap1", "v1").count() == 1
+    # reopen (restart) -> same log, next append lands as the next version
+    store2 = TableCheckpointStore(spark, path)
+    store2.append(
+        row.withColumn("partition_id", F.lit(7)).withColumn(
+            "completed_at", F.current_timestamp()
+        )
+    )
+    assert sorted(
+        r["partition_id"]
+        for r in store2.completed_partitions("snap1", "v1").collect()
+    ) == [0, 7]
+    ops = [h["operation"] for h in store2.table.history()]
+    assert ops == ["create", "append", "append"]
