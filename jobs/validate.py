@@ -90,6 +90,16 @@ def build_session(parallelism: int | None, app: str = "dff-validate") -> SparkSe
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet path of the source table")
+    ap.add_argument("--table-input", metavar="TABLE_ROOT",
+                    help="read the source table from a dff.tablefmt Table "
+                         "(snapshot-isolated scan of the latest version)")
+    ap.add_argument("--since-version", type=int, metavar="V",
+                    help="with --table-input: validate ONLY rows in files "
+                         "added after snapshot V (incremental validation — "
+                         "the day's delta instead of the whole table)")
+    ap.add_argument("--table-checkpoint", action="store_true",
+                    help="back --checkpoint with the table-format lineage "
+                         "store (atomic snapshot commits + audit history)")
     ap.add_argument("--synthetic-rows", type=int, default=0,
                     help="generate a synthetic source table instead of --input")
     ap.add_argument("--rules", help="rule spec (.json or .dmn); default built-in")
@@ -123,7 +133,18 @@ def main(argv: list[str] | None = None) -> dict:
     else:
         ruleset = parse_json(DEFAULT_RULES)
 
-    if args.input:
+    if args.since_version is not None and not args.table_input:
+        ap.error("--since-version requires --table-input")
+    if args.table_input:
+        from dff.tablefmt import Table
+
+        tbl = Table(args.table_input)
+        df = (
+            tbl.scan_added(spark, args.since_version)
+            if args.since_version is not None
+            else tbl.scan(spark)
+        )
+    elif args.input:
         df = spark.read.parquet(args.input)
     elif args.synthetic_rows:
         df = synthetic_source_files(
@@ -131,7 +152,7 @@ def main(argv: list[str] | None = None) -> dict:
             seed=42, skew=args.skew,
         )
     else:
-        ap.error("one of --input / --synthetic-rows is required")
+        ap.error("one of --input / --table-input / --synthetic-rows is required")
     assert_schema(df, SOURCE_SCHEMA)
 
     cfg = ValidationConfig(
@@ -165,7 +186,12 @@ def main(argv: list[str] | None = None) -> dict:
         warm.partition_metrics.collect()
     t0 = time.perf_counter()
     if args.checkpoint:
-        store = CheckpointStore(spark, args.checkpoint)
+        if args.table_checkpoint:
+            from dff.checkpoint import TableCheckpointStore
+
+            store = TableCheckpointStore(spark, args.checkpoint)
+        else:
+            store = CheckpointStore(spark, args.checkpoint)
         result = runner.run(df, store, violations_path=args.violations)
         if result is None:
             print(json.dumps({"status": "already-complete"}))

@@ -219,3 +219,17 @@ def test_delete_null_predicate_rows_survive(spark, tmp_path):
     got = t.scan(spark)
     assert got.where(F.col("grp").isNull()).count() == 5  # survived
     assert got.where(F.col("grp") == "g1").count() == 0
+
+
+def test_scan_added_incremental_reads(spark, tbl):
+    v1 = tbl.append(frame(spark, 0, 100), n_files=2)
+    v2 = tbl.append(frame(spark, 100, 150), n_files=1)
+    v3 = tbl.append(frame(spark, 150, 400), n_files=2)
+    inc = tbl.scan_added(spark, since_version=v1)
+    assert inc.count() == 300
+    assert inc.agg(F.min("k"), F.max("k")).first() == (100, 399)
+    mid = tbl.scan_added(spark, since_version=v1, until_version=v2)
+    assert mid.count() == 50
+    assert tbl.scan_added(spark, since_version=v3).count() == 0
+    # full history from the create snapshot == full scan
+    assert tbl.scan_added(spark, 0).count() == tbl.scan(spark).count()
