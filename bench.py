@@ -317,6 +317,108 @@ def main() -> None:
     os.makedirs(bench_dir, exist_ok=True)
     src_path = os.path.join(bench_dir, f"source_{VALIDATION_ROWS}.parquet")
     _ensure_source_table(spark, VALIDATION_ROWS, src_path)
+
+    # -- table-format scan pruning (round 5): the same single-partition
+    # filter, with and without manifest-level min/max file skipping.  The
+    # table is ingested once, range-clustered on part_id so each file
+    # covers ~2 partitions; the pruned scan opens only the overlapping
+    # files — at 10^12 files this is the difference between listing a
+    # lake and reading one day's directory.
+    from dff.tablefmt import Table
+
+    tbl_root = os.path.join(bench_dir, f"table_src_{VALIDATION_ROWS}")
+    src_df = spark.read.parquet(src_path)
+    if not Table.exists(tbl_root):
+        t = Table.create(tbl_root, src_df.schema)
+        t.append(
+            src_df.repartitionByRange(32, "part_id")
+            .sortWithinPartitions("part_id")
+        )
+    else:
+        t = Table(tbl_root)
+    part_filter = [("part_id", "=", 7)]
+    bench_callable(
+        "table_scan_filter_unpruned_500k",
+        lambda: t.scan(spark).where(F.col("part_id") == 7),
+    )
+    bench_callable(
+        "table_scan_pruned_500k", lambda: t.scan(spark, part_filter)
+    )
+    table_prune = {
+        "files_total": t.scan_file_count(),
+        "files_opened": t.scan_file_count(part_filter),
+    }
+
+    # -- skew-bucketed as-of join at engine scale (VERDICT r04 #6): the
+    # gate query proves hash-parity at sf0.01; this measures the hot-key
+    # split where it matters.  Same operator, two fixtures: uniform keys
+    # (4M left rows over 10k keys) vs 90% of rows on ONE key.  Plain
+    # as-of would sort the hot key's 3.6M-row timeline in one task; the
+    # bucketed plan spreads it over ts_span/width ≈ 80 tasks, so the
+    # per-row cost should stay within ~1.5x of uniform.
+    from dff.asof import asof_join_skewed as _ajs
+
+    ASOF_LEFT = int(os.environ.get("SPARK_GRAFT_ASOF_ROWS", "4000000"))
+    TS_SPAN = float(ASOF_LEFT)
+
+    def _asof_bench_fixture(skew: bool, path: str):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        n_right = ASOF_LEFT // 4
+        if skew:
+            key = F.when(
+                F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10)) < 9, F.lit(0)
+            ).otherwise(F.pmod(F.xxhash64("id", F.lit(11)), F.lit(10_000)))
+        else:
+            key = F.pmod(F.xxhash64("id"), F.lit(10_000))
+        ts = F.pmod(F.xxhash64("id", F.lit(3)), F.lit(int(TS_SPAN))).cast(
+            "double"
+        )
+        left = spark.range(ASOF_LEFT).select(
+            F.col("id").alias("event_id"), key.alias("key"), ts.alias("ts")
+        )
+        right = spark.range(n_right).select(
+            (F.col("id") + ASOF_LEFT).alias("rid"),
+            key.alias("key"),
+            ts.alias("ts"),
+            (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(1000)))
+            .cast("double")
+            .alias("price"),
+        )
+        left.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(path, "left")
+        )
+        right.repartition(16).write.mode("overwrite").parquet(
+            os.path.join(path, "right")
+        )
+        # fixture marker (the two sub-dirs have their own _SUCCESS)
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+
+    asof_perrow: dict[str, float] = {}
+    for tag, skew in (("uniform", False), ("hotkey", True)):
+        fx = os.path.join(bench_dir, f"asof_{tag}_{ASOF_LEFT}")
+        _asof_bench_fixture(skew, fx)
+        lf = spark.read.parquet(os.path.join(fx, "left"))
+        rf = spark.read.parquet(os.path.join(fx, "right"))
+        name = f"asof_skewed_{tag}_4m"
+        bench_callable(
+            name,
+            lambda lf=lf, rf=rf: _ajs(
+                lf, rf, on=["key"], ts_col="ts",
+                right_cols=["rid", "price"], right_order=["rid"],
+                bucket_width=TS_SPAN / 80.0,
+            ),
+        )
+        asof_perrow[tag] = timings[name] / ASOF_LEFT
+    asof_skew = {
+        "left_rows": ASOF_LEFT,
+        "uniform_sec": timings["asof_skewed_uniform_4m"],
+        "hotkey_sec": timings["asof_skewed_hotkey_4m"],
+        "hotkey_over_uniform": round(
+            asof_perrow["hotkey"] / asof_perrow["uniform"], 3
+        ),
+    }
     with tempfile.TemporaryDirectory() as tmp:
         vsec, vruns = bench_validation_pipeline(spark, src_path, tmp)
     timings["validation_pipeline"] = round(vsec, 3)
@@ -348,6 +450,11 @@ def main() -> None:
                 # per-query: 3 runs each, run 1 (codegen/worker warm-up)
                 # discarded, reported value = min(runs 2..3)
                 "query_runs_sec": query_runs,
+                # manifest-level file skipping for the part_id=7 scan
+                "table_prune": table_prune,
+                # hot-key split: per-row cost of the 90%-one-key fixture
+                # vs uniform keys, same bucketed as-of plan
+                "asof_skew": asof_skew,
             }
         )
     )
