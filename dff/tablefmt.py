@@ -542,6 +542,110 @@ class Table:
             expected_parent=snap["version"],
         )
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        evolve: bool = False,
+        check_unique_keys: bool = True,
+    ) -> int:
+        """``MERGE INTO target USING source ON keys WHEN MATCHED THEN
+        UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the Delta-style
+        upsert an incremental pipeline runs every batch (reference stores
+        scoring outputs via repeated Delta overwrites,
+        ``01_dff_model.py:481-485``; this is the surgical version).
+
+        Copy-on-write at file granularity: the source's per-key-column
+        min/max bounds prune the target's manifest, so ONLY files whose
+        stats overlap the source key range are rewritten (matched rows
+        anti-joined out); every other file is carried by reference.  A
+        daily delta touching one day of a year-partitioned 100 TB table
+        rewrites ~1/365th of the files; the anti-join's right side is the
+        (typically small) source key set, which AQE broadcast-converts.
+
+        Semantics pinned by tests: a matched target row is REPLACED by
+        its source row (update-all); unmatched source rows append;
+        NULL-keyed rows never match (SQL equality), so NULL-keyed target
+        rows survive and NULL-keyed source rows insert.  Multiple source
+        rows per key would make the update ambiguous (Delta raises too) —
+        ``check_unique_keys`` pays one small aggregation on the source to
+        fail fast.  ``evolve=True`` lets the source add columns (old rows
+        read NULL).  One atomic snapshot commit; concurrent conflicting
+        commits raise :class:`CommitConflict`."""
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        snap = self._snapshot()
+        aligned_src, schema_json = self._aligned(source, evolve)
+        merged_fields = T.StructType.fromJson(schema_json).fields
+        if check_unique_keys:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"source has multiple rows for key {dup[0][:-1]!r}; "
+                    "MERGE update would be ambiguous"
+                )
+        # prune: a target file can only contain matches if, for EVERY key
+        # column, its [min,max] overlaps the source's [min,max] (NULL keys
+        # never match, so non-null bounds are sufficient)
+        bounds = source.select(
+            *[F.min(k).alias(f"{k}__lo") for k in key_cols],
+            *[F.max(k).alias(f"{k}__hi") for k in key_cols],
+        ).collect()[0]
+        filters = [
+            (k, "between", (bounds[f"{k}__lo"], bounds[f"{k}__hi"]))
+            for k in key_cols
+            if bounds[f"{k}__lo"] is not None
+        ]
+        if filters:
+            hit, keep = self._split_entries(filters, snap["version"])
+        else:  # all-NULL (or empty) source keys: nothing can match
+            hit, keep = [], self.entries(snap["version"])
+        old_schema = T.StructType.fromJson(snap["schema"])
+        pad = [
+            F.col(f.name)
+            if f.name in {g.name for g in old_schema.fields}
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged_fields
+        ]
+        new_entries: list[dict] = []
+        if hit:
+            target_hit = spark.read.schema(old_schema).parquet(
+                *[os.path.join(self.root, e["path"]) for e in hit]
+            )
+            survivors = target_hit.join(
+                aligned_src.select(*key_cols).distinct(), key_cols, "left_anti"
+            ).select(*pad)
+            new_entries.extend(self._materialize(survivors))
+        elif evolve and len(merged_fields) > len(old_schema.fields):
+            # schema grew but no files rewrite: carried files simply read
+            # NULL for the new columns via the snapshot schema
+            pass
+        new_entries.extend(self._materialize(aligned_src))
+        manifests = []
+        if keep:
+            manifests.append(self._write_manifest(keep))
+        if new_entries:
+            manifests.append(self._write_manifest(new_entries))
+        return self._commit(
+            {
+                "operation": "merge",
+                "schema": schema_json,
+                "manifests": manifests,
+                "summary": {
+                    "rewritten_files": len(hit),
+                    "carried_files": len(keep),
+                },
+            },
+            expected_parent=snap["version"],
+        )
+
     def compact(
         self, spark: SparkSession, target_file_bytes: int = 128 << 20
     ) -> int:

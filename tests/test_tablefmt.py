@@ -233,3 +233,85 @@ def test_scan_added_incremental_reads(spark, tbl):
     assert tbl.scan_added(spark, since_version=v3).count() == 0
     # full history from the create snapshot == full scan
     assert tbl.scan_added(spark, 0).count() == tbl.scan(spark).count()
+
+
+def test_merge_upsert_update_and_insert(spark, tbl):
+    tbl.append(frame(spark, 0, 100), n_files=2)
+    src = spark.range(90, 120).select(
+        F.col("id").alias("k"),
+        F.lit("merged").alias("grp"),
+        F.lit(-1.0).alias("v"),
+    )
+    tbl.merge_upsert(spark, src, ["k"])
+    got = tbl.scan(spark)
+    assert got.count() == 120  # 10 updated in place, 20 inserted
+    assert got.where(F.col("grp") == "merged").count() == 30
+    # untouched rows keep their original values
+    assert got.where((F.col("k") == 5) & (F.col("v") == 7.5)).count() == 1
+    # updated row carries the source payload, not the old one
+    assert got.where(F.col("k") == 95).first()["v"] == -1.0
+    assert [h["operation"] for h in tbl.history()][-1] == "merge"
+
+
+def test_merge_upsert_prunes_nonoverlapping_files(spark, tbl):
+    for lo in range(0, 400, 100):
+        tbl.append(frame(spark, lo, lo + 100), n_files=1)
+    before = {e["path"] for e in tbl.entries()}
+    src = frame(spark, 150, 160).withColumn("v", F.lit(-5.0))
+    tbl.merge_upsert(spark, src, ["k"])
+    after = {e["path"] for e in tbl.entries()}
+    # only the [100,200) file overlaps the source key range: 3 carried
+    assert len(before & after) == 3
+    assert tbl._snapshot()["summary"] == {
+        "rewritten_files": 1,
+        "carried_files": 3,
+    }
+    got = tbl.scan(spark)
+    assert got.count() == 400
+    assert got.where(F.col("v") == -5.0).count() == 10
+    # time travel still sees the pre-merge values
+    assert tbl.scan(spark, version=4).where(F.col("v") == -5.0).count() == 0
+
+
+def test_merge_upsert_null_keys_never_match(spark, tbl):
+    base = spark.createDataFrame(
+        [(None, "old", 1.0), (1, "old", 1.0)], schema=SCHEMA
+    )
+    tbl.append(base, n_files=1)
+    src = spark.createDataFrame(
+        [(None, "new", 2.0), (1, "new", 2.0)], schema=SCHEMA
+    )
+    tbl.merge_upsert(spark, src, ["k"])
+    got = tbl.scan(spark)
+    # NULL-keyed target row survives; NULL-keyed source row inserts
+    assert got.count() == 3
+    assert got.where(F.col("k").isNull()).count() == 2
+    assert got.where((F.col("k") == 1) & (F.col("grp") == "new")).count() == 1
+
+
+def test_merge_upsert_duplicate_source_keys_raise(spark, tbl):
+    tbl.append(frame(spark, 0, 10))
+    src = frame(spark, 5, 7).union(frame(spark, 5, 6))
+    with pytest.raises(ValueError, match="multiple rows"):
+        tbl.merge_upsert(spark, src, ["k"])
+
+
+def test_merge_upsert_schema_evolution(spark, tbl):
+    tbl.append(frame(spark, 0, 10), n_files=1)
+    src = frame(spark, 5, 15).withColumn("note", F.lit("n"))
+    with pytest.raises(ValueError):
+        tbl.merge_upsert(spark, src, ["k"])
+    tbl.merge_upsert(spark, src, ["k"], evolve=True)
+    got = tbl.scan(spark)
+    assert got.columns == ["k", "grp", "v", "note"]
+    assert got.count() == 15
+    assert got.where(F.col("note").isNull()).count() == 5  # unmatched old
+
+
+def test_merge_upsert_insert_only_fast_path(spark, tbl):
+    tbl.append(frame(spark, 0, 100), n_files=2)
+    before = {e["path"] for e in tbl.entries()}
+    tbl.merge_upsert(spark, frame(spark, 500, 520), ["k"])
+    after = {e["path"] for e in tbl.entries()}
+    assert before <= after  # nothing rewritten: key ranges don't overlap
+    assert tbl.scan(spark).count() == 120
