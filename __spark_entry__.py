@@ -2157,6 +2157,52 @@ def q_table_cow_delete(spark, sf_dir):
     return t.scan(spark).select("doc_id", "lang", "source")
 
 
+def q_table_merge_upsert(spark, sf_dir):
+    """MERGE INTO through the table format (dff/tablefmt.py:merge_upsert):
+    documents land in four commits; the source carries one UPDATE stream
+    (doc_id % 7 == 0 relabeled lang='xx') and one INSERT stream (doc_id %
+    13 == 0 shifted by +10M).  Matched target rows are replaced whole,
+    unmatched source rows append, everything else is untouched — the
+    oracle replays it as anti-join + union in ANSI SQL.  COW file pruning
+    by source key bounds is pinned by tests/test_tablefmt.py."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    for r in range(4):
+        t.append(d.where(F.col("doc_id") % 4 == r), n_files=1)
+    upd = d.where(F.col("doc_id") % 7 == 0).withColumn("lang", F.lit("xx"))
+    ins = d.where(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    t.merge_upsert(spark, upd.unionByName(ins), ["doc_id"])
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
+def q_table_scan_added(spark, sf_dir):
+    """Incremental read off the table log (dff/tablefmt.py:scan_added):
+    three commits split by doc_id % 3; reading 'files added after commit
+    1' must see exactly the % 3 in (1, 2) rows — the primitive that turns
+    every downstream pipeline incremental (validate.py --table-input
+    --since consumes it)."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    v1 = None
+    for r in range(3):
+        v = t.append(d.where(F.col("doc_id") % 3 == r), n_files=2)
+        if r == 0:
+            v1 = v
+    return t.scan_added(spark, since_version=v1).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2168,11 +2214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   loads exactly those 36, plus the two hash-fixed oracles
     #   (json_extract_stats / batch_sessions — DuckDB HUGEINT casts), plus
     #   the two new queries (pca_projection_violations /
-    #   lineage_trend_violations), plus a 10-query core sample spanning the
-    #   engine's pillars (rule DAG, skew agg, dedup invariants, drift,
-    #   as-of, ANN).  Everything after position 50 already has a green
-    #   CORRECTNESS row on record (r3 or r4).  Future rounds: rotate any
-    #   entry whose latest green row is >2 rounds old into the window.
+    #   lineage_trend_violations), plus the table-format gates
+    #   (time-travel / COW delete / MERGE upsert / incremental scan_added),
+    #   plus a core sample spanning the engine's pillars (rule DAG, skew
+    #   agg, dedup invariants, as-of).  Everything after position 50
+    #   already has a green CORRECTNESS row on record (r3 or r4).  Future
+    #   rounds: rotate any entry whose latest green row is >2 rounds old
+    #   into the window.
     return {
         # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
         "ivf_incremental_full_probe": q_ivf_incremental_full_probe,
@@ -2219,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_trend_violations": q_lineage_trend_violations,
         "table_time_travel": q_table_time_travel,
         "table_cow_delete": q_table_cow_delete,
+        "table_merge_upsert": q_table_merge_upsert,
+        "table_scan_added": q_table_scan_added,
         # --- 8-query core sample (pillars; all green r4) -----------------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -2837,6 +2887,26 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, lang, source
             FROM documents
             WHERE lang IS NULL OR lang <> 'en'
+        """,
+        # MERGE upsert = anti-join out matched target rows + append source
+        "table_merge_upsert": """
+            WITH src AS (
+              SELECT doc_id, 'xx' AS lang, n_chars
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = d.doc_id)
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM src
+        """,
+        "table_scan_added": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE doc_id % 3 IN (1, 2)
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),
