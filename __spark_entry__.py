@@ -2203,6 +2203,39 @@ def q_table_scan_added(spark, sf_dir):
     )
 
 
+def q_table_stream_sink(spark, sf_dir):
+    """Exactly-once streaming sink into the table format
+    (dff/streaming.py:stream_to_table): documents flow through a file
+    stream into atomic snapshot commits keyed by stream-batch id; a
+    hand-replayed batch 0 (the foreachBatch crash window) hits its
+    idempotency key in the commit log and no-ops.  The final row set must
+    be exactly the source table — no loss, no duplication."""
+    import hashlib
+    import tempfile
+
+    from dff.streaming import stream_to_table
+    from dff.tablefmt import Table
+
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        stage = src
+    else:
+        tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"dff-docstream-{tag}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    root = tempfile.mkdtemp(prefix="dff-tbl-") + "/docs"
+    q = stream_to_table(stream, root, tempfile.mkdtemp(prefix="dff-ck-"))
+    q.awaitTermination(120)
+    t = Table(root)
+    t.append(spark.read.parquet(src), idempotency_key="stream-batch-0")
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2269,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cow_delete": q_table_cow_delete,
         "table_merge_upsert": q_table_merge_upsert,
         "table_scan_added": q_table_scan_added,
+        "table_stream_sink": q_table_stream_sink,
         # --- 8-query core sample (pillars; all green r4) -----------------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -2907,6 +2941,10 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE doc_id % 3 IN (1, 2)
+        """,
+        # exactly-once stream sink: loss-free, duplication-free landing
+        "table_stream_sink": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),

@@ -348,3 +348,47 @@ def sessionize_events(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_files: int | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming sink into the native table format
+    (:class:`dff.tablefmt.Table`): every micro-batch lands as ONE atomic
+    snapshot commit carrying ``idempotency_key = stream-batch-{id}``, so
+    the crash window foreachBatch leaves open (batch committed, streaming
+    checkpoint not yet advanced -> Spark redelivers the same batch id) is
+    closed by the table's commit log itself — the replay finds its key
+    committed and no-ops.  Downstream consumers tail the table with
+    ``scan_added`` per snapshot, making the whole chain incremental:
+    stream -> atomic table commits -> incremental validation
+    (``jobs/validate.py --table-input --since``).
+
+    The table is created from the first batch's schema if absent; later
+    batches append under the committed schema (mismatched columns raise,
+    as in batch appends).
+    """
+    from .tablefmt import CommitConflict, Table
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not Table.exists(table_root):
+            try:
+                Table.create(table_root, batch_df.schema)
+            except (CommitConflict, FileExistsError):
+                pass  # another delivery created it first
+        Table(table_root).append(
+            batch_df,
+            n_files=n_files,
+            idempotency_key=f"stream-batch-{batch_id}",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

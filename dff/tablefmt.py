@@ -376,19 +376,48 @@ class Table:
         ]
         return df.select(*cols), json.loads(T.StructType(fields).json())
 
+    def committed_version_for(self, idempotency_key: str) -> int | None:
+        """Version whose commit carried ``idempotency_key``, or None.
+        Driver-side O(snapshots) log walk — at production snapshot counts
+        the key set would live in the tip snapshot (Delta keeps stream
+        txn ids exactly so), which this API admits without change."""
+        for h in self.history():
+            if (h.get("summary") or {}).get("idempotency_key") == idempotency_key:
+                return h["version"]
+        return None
+
     def append(
         self,
         df: DataFrame,
         n_files: int | None = None,
         evolve: bool = False,
         max_retries: int = 5,
+        idempotency_key: str | None = None,
     ) -> int:
         """Commit ``df`` as new data files.  Appends never conflict
         semantically, so a lost commit race rebases onto the new tip and
-        retries — the expensive part (writing data files) happens once."""
+        retries — the expensive part (writing data files) happens once.
+
+        ``idempotency_key`` makes redelivery safe: if some snapshot
+        already committed under the key, that version returns WITHOUT
+        writing — the foreachBatch exactly-once contract (a micro-batch
+        that crashed after commit but before the streaming checkpoint
+        advanced is replayed with the same batch id and becomes a no-op).
+        The key check re-runs after every lost commit race, so two
+        deliveries racing each other also collapse to one commit."""
+        if idempotency_key is not None:
+            v = self.committed_version_for(idempotency_key)
+            if v is not None:
+                return v
         aligned, schema_json = self._aligned(df, evolve)
         entries = self._materialize(aligned, n_files)
         manifest = self._write_manifest(entries) if entries else None
+        summary = {
+            "added_files": len(entries),
+            "added_rows": sum(e["rows"] for e in entries),
+        }
+        if idempotency_key is not None:
+            summary["idempotency_key"] = idempotency_key
         for _ in range(max_retries):
             snap = self._snapshot()
             manifests = list(snap["manifests"])
@@ -400,14 +429,15 @@ class Table:
                         "operation": "append",
                         "schema": schema_json,
                         "manifests": manifests,
-                        "summary": {
-                            "added_files": len(entries),
-                            "added_rows": sum(e["rows"] for e in entries),
-                        },
+                        "summary": summary,
                     },
                     expected_parent=snap["version"],
                 )
             except CommitConflict:
+                if idempotency_key is not None:
+                    v = self.committed_version_for(idempotency_key)
+                    if v is not None:
+                        return v  # the race WAS this key's other delivery
                 continue
         raise CommitConflict(f"append lost {max_retries} commit races")
 

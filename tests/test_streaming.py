@@ -314,3 +314,31 @@ def test_interval_join_streams_state_is_bounded(spark, tmp_path):
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower(), plan
     assert "INTERVAL" in plan or "interval" in plan, plan
+
+
+def test_stream_to_table_exactly_once(spark, tmp_path):
+    from dff.streaming import stream_to_table
+    from dff.tablefmt import Table
+
+    src = str(tmp_path / "src")
+    synthetic_source_files(spark, 1500, n_repos=30).write.mode(
+        "overwrite"
+    ).parquet(src)
+    root = str(tmp_path / "tbl")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = stream_to_table(stream, root, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    n_src = spark.read.parquet(src).count()  # generator plants extra rows
+    t = Table(root)
+    assert t.scan(spark).count() == n_src
+    ops = [h["operation"] for h in t.history()]
+    assert ops[0] == "create" and all(o == "append" for o in ops[1:])
+    # crash-window replay: redeliver batch 0 by hand — the idempotency
+    # key in the commit log makes it a no-op
+    batch0 = spark.read.parquet(src)
+    v_before = t._latest_version()
+    t.append(batch0, idempotency_key="stream-batch-0")
+    assert t._latest_version() == v_before
+    assert t.scan(spark).count() == n_src

@@ -315,3 +315,19 @@ def test_merge_upsert_insert_only_fast_path(spark, tbl):
     after = {e["path"] for e in tbl.entries()}
     assert before <= after  # nothing rewritten: key ranges don't overlap
     assert tbl.scan(spark).count() == 120
+
+
+def test_idempotent_append_redelivery_noop(spark, tbl):
+    v1 = tbl.append(frame(spark, 0, 50), idempotency_key="batch-0")
+    v2 = tbl.append(frame(spark, 0, 50), idempotency_key="batch-0")
+    assert v1 == v2  # redelivery returned the original commit, wrote nothing
+    assert tbl.scan(spark).count() == 50
+    v3 = tbl.append(frame(spark, 50, 80), idempotency_key="batch-1")
+    assert v3 > v1
+    assert tbl.scan(spark).count() == 80
+    keys = [
+        (h.get("summary") or {}).get("idempotency_key") for h in tbl.history()
+    ]
+    assert keys.count("batch-0") == 1
+    assert tbl.committed_version_for("batch-0") == v1
+    assert tbl.committed_version_for("nope") is None
