@@ -2236,6 +2236,27 @@ def q_table_stream_sink(spark, sf_dir):
     return t.scan(spark).select("doc_id", "lang", "n_chars")
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy edit-distance self-join (dff/fuzzy.py): identifier-like
+    strings derived from doc_id (planted 1-edit families: u007 / u007x /
+    u007xy) matched at levenshtein <= 1 via FastSS deletion-neighborhood
+    blocking + exact verify — no cartesian product (plan-tested).  The
+    oracle brute-forces the same predicate with DuckDB's levenshtein."""
+    from dff.fuzzy import fuzzy_pairs
+
+    t = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("u"),
+            F.lpad(F.floor(F.col("doc_id") / 3).cast("string"), 3, "0"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit("x"))
+            .when(F.col("doc_id") % 3 == 2, F.lit("xy"))
+            .otherwise(F.lit("")),
+        ).alias("s"),
+    )
+    return fuzzy_pairs(t, "id", "s", max_dist=1)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2303,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_merge_upsert": q_table_merge_upsert,
         "table_scan_added": q_table_scan_added,
         "table_stream_sink": q_table_stream_sink,
+        "fuzzy_pairs": q_fuzzy_pairs,
         # --- 8-query core sample (pillars; all green r4) -----------------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -2945,6 +2967,20 @@ def _oracle_sql_base() -> dict[str, str]:
         # exactly-once stream sink: loss-free, duplication-free landing
         "table_stream_sink": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # fuzzy join: brute-force replay of the exact predicate
+        "fuzzy_pairs": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     'u' || lpad(CAST(doc_id // 3 AS VARCHAR), 3, '0') ||
+                     CASE doc_id % 3 WHEN 1 THEN 'x'
+                                     WHEN 2 THEN 'xy' ELSE '' END AS s
+              FROM documents WHERE doc_id < 400
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM t a JOIN t b
+              ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),
