@@ -1,0 +1,173 @@
+"""Engine-scale table-format MERGE benchmark.
+
+The point of :meth:`dff.tablefmt.Table.merge_upsert` is that upserting a
+small delta into a big table costs O(overlapping files + delta), not
+O(table): source key bounds prune the manifest, only stat-overlapping
+files rewrite, everything else is carried by reference.  This job
+measures that claim directly:
+
+  1. ingest ``--rows`` synthetic source rows into a fresh table,
+     range-clustered on ``row_id`` across ``--files`` files;
+  2. MERGE a ``--delta-rows`` delta whose keys span ONE narrow row_id
+     range (the daily-partition analog) — time it, record how many files
+     rewrote;
+  3. MERGE an equal-size delta via full overwrite (read + anti-join +
+     union + overwrite — what an engine without file-level COW pays);
+  4. scan correctness check: both paths must produce the same row count
+     and updated-row count.
+
+Each timed phase runs on a FRESH table copy (merges mutate), built once
+from a cached parquet source; build cost is excluded from timing.
+
+Usage: python jobs/bench_table.py [--rows 500000] [--files 32]
+       [--delta-rows 10000] [--parallelism 8] [--repeats 3]
+Appends a JSON line to BENCH/table_results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_session(parallelism: int):
+    from pyspark.sql import SparkSession
+
+    from dff.env import pick_local_dir
+
+    mem = os.environ.get("DFF_DRIVER_MEM", "8g")
+    b = SparkSession.builder.master(f"local[{parallelism}]").appName(
+        "dff-bench-table"
+    )
+    local_dir = pick_local_dir()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
+    return (
+        b.config("spark.sql.shuffle.partitions", str(2 * parallelism))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", mem)
+        .config(
+            "spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch"
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=500_000)
+    ap.add_argument("--files", type=int, default=32)
+    ap.add_argument("--delta-rows", type=int, default=10_000)
+    ap.add_argument("--parallelism", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dff.sources import synthetic_source_files
+    from dff.tablefmt import Table
+
+    spark = build_session(args.parallelism)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_dir = os.path.join(REPO, ".bench_data")
+    os.makedirs(bench_dir, exist_ok=True)
+    src_path = os.path.join(bench_dir, f"table_merge_src_{args.rows}.parquet")
+    if not os.path.exists(os.path.join(src_path, "_SUCCESS")):
+        synthetic_source_files(
+            spark, args.rows, n_repos=2000, n_parts=64, seed=42
+        ).withColumn(
+            "row_id", F.xxhash64("repo", "path", "commit")
+        ).write.mode("overwrite").parquet(src_path)
+    src = spark.read.parquet(src_path)
+    n_src = src.count()
+
+    # the delta: update every row inside ONE narrow row_id band (the
+    # "today's partition" analog) — ~delta_rows of them, deterministic
+    lo = src.selectExpr("min(row_id) AS lo").first()["lo"]
+    hi = src.selectExpr("max(row_id) AS hi").first()["hi"]
+    width = int((hi - lo) * (args.delta_rows / n_src))
+    delta = (
+        src.where(F.col("row_id").between(lo, lo + width))
+        .withColumn("lang", F.lit("upserted"))
+        .cache()
+    )
+    n_delta = delta.count()
+
+    def fresh_table(tag: str) -> Table:
+        root = tempfile.mkdtemp(prefix=f"dff-btbl-{tag}-") + "/t"
+        t = Table.create(root, src.schema)
+        t.append(
+            src.repartitionByRange(args.files, "row_id").sortWithinPartitions(
+                "row_id"
+            )
+        )
+        return t
+
+    results: dict = {
+        "rows": n_src,
+        "files": args.files,
+        "delta_rows": n_delta,
+        "parallelism": args.parallelism,
+    }
+
+    # -- (2) COW merge: prune by key bounds, rewrite overlapping files --
+    merge_runs, rewritten = [], None
+    for _ in range(args.repeats):
+        t = fresh_table("merge")
+        t0 = time.perf_counter()
+        t.merge_upsert(spark, delta, ["row_id"], check_unique_keys=False)
+        merge_runs.append(time.perf_counter() - t0)
+        summ = t._snapshot()["summary"]
+        rewritten = (summ["rewritten_files"], summ["carried_files"])
+        assert t.scan(spark).count() == n_src
+        assert (
+            t.scan(spark).where(F.col("lang") == "upserted").count() == n_delta
+        )
+        shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
+    results["merge_sec"] = round(min(merge_runs), 3)
+    results["merge_runs_sec"] = [round(r, 3) for r in merge_runs]
+    results["merge_rewritten_files"] = rewritten[0]
+    results["merge_carried_files"] = rewritten[1]
+
+    # -- (3) full-table overwrite path (no file-level COW) --------------
+    ow_runs = []
+    for _ in range(args.repeats):
+        t = fresh_table("ow")
+        t0 = time.perf_counter()
+        full = t.scan(spark)
+        merged = full.join(
+            delta.select("row_id"), "row_id", "left_anti"
+        ).unionByName(delta)
+        t.overwrite(merged, n_files=args.files)
+        ow_runs.append(time.perf_counter() - t0)
+        assert t.scan(spark).count() == n_src
+        assert (
+            t.scan(spark).where(F.col("lang") == "upserted").count() == n_delta
+        )
+        shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
+    results["overwrite_sec"] = round(min(ow_runs), 3)
+    results["overwrite_runs_sec"] = [round(r, 3) for r in ow_runs]
+    results["merge_speedup"] = round(
+        results["overwrite_sec"] / results["merge_sec"], 2
+    )
+
+    out = os.path.join(REPO, "BENCH", "table_results.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "a") as f:
+        f.write(json.dumps(results) + "\n")
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
