@@ -2257,6 +2257,22 @@ def q_fuzzy_pairs(spark, sf_dir):
     return fuzzy_pairs(t, "id", "s", max_dist=1)
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history (dff/scd.py): the events change log collapses
+    into per-user validity intervals — consecutive equal event_types
+    suppress, each surviving change opens [valid_from, valid_to) with the
+    open interval flagged current.  One shuffle on user_id; the oracle
+    replays the same LAG-suppress + LEAD-close windows in ANSI SQL."""
+    from dff.scd import scd2_intervals
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return scd2_intervals(
+        e, ["user_id"], "ts", ["event_type"], order_cols=["event_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2325,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_scan_added": q_table_scan_added,
         "table_stream_sink": q_table_stream_sink,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "scd2_intervals": q_scd2_intervals,
         # --- 8-query core sample (pillars; all green r4) -----------------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -2967,6 +2984,28 @@ def _oracle_sql_base() -> dict[str, str]:
         # exactly-once stream sink: loss-free, duplication-free landing
         "table_stream_sink": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # SCD-2: LAG-suppress runs of equal attrs, LEAD-close intervals.
+        # LAG(TRUE) distinguishes "first row" from "previous attr NULL"
+        # (Spark lags a non-null struct, so first-row detection must not
+        # lean on the attr value itself)
+        "scd2_intervals": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_type, event_id,
+                     LAG(TRUE) OVER w IS NULL AS is_first,
+                     LAG(event_type) OVER w AS prev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), changed AS (
+              SELECT user_id, ts, event_type, event_id FROM ordered
+              WHERE is_first OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w2 AS valid_to,
+                   LEAD(ts) OVER w2 IS NULL AS is_current
+            FROM changed
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         # fuzzy join: brute-force replay of the exact predicate
         "fuzzy_pairs": """
