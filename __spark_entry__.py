@@ -2273,6 +2273,33 @@ def q_scd2_intervals(spark, sf_dir):
     )
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC closure (dff/diff.py:apply_cdc): a table seeded with one
+    snapshot is reconciled to a second by applying EXACTLY the
+    snapshot_diff churn — added/changed rows MERGE (COW), removed keys
+    DELETE (COW anti-join).  The final scan must equal the target
+    snapshot bit-for-bit; the oracle states that target directly.
+    Exercises all three change classes: added (doc_id%5=0 & %7!=0),
+    removed (%7=0 & %5!=0), changed (%3=0 survivors)."""
+    import tempfile
+
+    from dff.diff import apply_cdc
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 5 != 0)
+    new = d.where(F.col("doc_id") % 7 != 0).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdc")).otherwise(
+            F.col("lang")
+        ),
+    )
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    t.append(old, n_files=3)
+    apply_cdc(spark, t, new, ["doc_id"], ["lang", "text", "source", "n_chars"])
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2342,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stream_sink": q_table_stream_sink,
         "fuzzy_pairs": q_fuzzy_pairs,
         "scd2_intervals": q_scd2_intervals,
+        "cdc_apply": q_cdc_apply,
         # --- 8-query core sample (pillars; all green r4) -----------------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3006,6 +3034,14 @@ def _oracle_sql_base() -> dict[str, str]:
                    LEAD(ts) OVER w2 IS NULL AS is_current
             FROM changed
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # CDC closure: the reconciled table IS the target snapshot
+        "cdc_apply": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'cdc' ELSE lang END AS lang,
+                   n_chars
+            FROM documents
+            WHERE doc_id % 7 <> 0
         """,
         # fuzzy join: brute-force replay of the exact predicate
         "fuzzy_pairs": """

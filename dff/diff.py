@@ -122,3 +122,33 @@ def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
                              f"{'' if n[name].nullable else ' not null'}"}
             )
     return out
+
+
+def apply_cdc(
+    spark,
+    table,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> int:
+    """Reconcile a :class:`dff.tablefmt.Table` to match ``new`` by
+    applying exactly the churn :func:`snapshot_diff` reports — the CDC
+    closure: added/changed rows MERGE in (COW, manifest-pruned), removed
+    keys DELETE out (COW anti-join).  Cost is proportional to the churn
+    plus the files it overlaps, never the table; unchanged files are
+    carried by reference through both commits.
+
+    Two snapshot commits (merge, then delete) — a reader between them
+    sees the merged-but-not-yet-deleted state, never a torn file set;
+    single-commit semantics would fold the delete into the merge rewrite
+    (the API admits it; kept separate for auditable history).  Returns
+    the final version."""
+    cur = table.scan(spark)
+    d = snapshot_diff(new, cur, keys, compare_cols)
+    upsert_keys = d.where(F.col("change").isin("added", "changed")).select(
+        *keys
+    )
+    ups = new.join(upsert_keys, keys, "left_semi")
+    v = table.merge_upsert(spark, ups, keys, check_unique_keys=False)
+    removed = d.where(F.col("change") == "removed").select(*keys)
+    return max(v, table.delete_matching(spark, removed, keys))

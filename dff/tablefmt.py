@@ -676,6 +676,57 @@ class Table:
             expected_parent=snap["version"],
         )
 
+    def delete_matching(
+        self, spark: SparkSession, keys: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Copy-on-write DELETE of every row whose key tuple appears in
+        ``keys`` — the CDC-removed half of :func:`dff.diff.apply_cdc`.
+        Same shape as :meth:`merge_upsert` minus the insert: key bounds
+        prune the manifest, hit files anti-join the (distinct) key set —
+        the key frame stays distributed, no driver collect, so a
+        million-row tombstone batch costs the same plan as ten."""
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        snap = self._snapshot()
+        bounds = keys.select(
+            *[F.min(k).alias(f"{k}__lo") for k in key_cols],
+            *[F.max(k).alias(f"{k}__hi") for k in key_cols],
+        ).collect()[0]
+        filters = [
+            (k, "between", (bounds[f"{k}__lo"], bounds[f"{k}__hi"]))
+            for k in key_cols
+            if bounds[f"{k}__lo"] is not None
+        ]
+        if not filters:  # empty or all-NULL keys: nothing can match
+            return snap["version"]
+        hit, keep = self._split_entries(filters, snap["version"])
+        if not hit:
+            return snap["version"]
+        schema = T.StructType.fromJson(snap["schema"])
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, e["path"]) for e in hit])
+            .join(keys.select(*key_cols).distinct(), key_cols, "left_anti")
+        )
+        new_entries = self._materialize(survivors)
+        manifests = []
+        if keep:
+            manifests.append(self._write_manifest(keep))
+        if new_entries:
+            manifests.append(self._write_manifest(new_entries))
+        return self._commit(
+            {
+                "operation": "delete",
+                "schema": snap["schema"],
+                "manifests": manifests,
+                "summary": {
+                    "rewritten_files": len(hit),
+                    "carried_files": len(keep),
+                },
+            },
+            expected_parent=snap["version"],
+        )
+
     def compact(
         self, spark: SparkSession, target_file_bytes: int = 128 << 20
     ) -> int:

@@ -331,3 +331,47 @@ def test_idempotent_append_redelivery_noop(spark, tbl):
     assert keys.count("batch-0") == 1
     assert tbl.committed_version_for("batch-0") == v1
     assert tbl.committed_version_for("nope") is None
+
+
+def test_delete_matching_prunes_and_deletes(spark, tbl):
+    for lo in range(0, 400, 100):
+        tbl.append(frame(spark, lo, lo + 100), n_files=1)
+    before = {e["path"] for e in tbl.entries()}
+    keys = spark.range(120, 140).select(F.col("id").alias("k"))
+    tbl.delete_matching(spark, keys, ["k"])
+    after = {e["path"] for e in tbl.entries()}
+    assert len(before & after) == 3  # only the [100,200) file rewrote
+    got = tbl.scan(spark)
+    assert got.count() == 380
+    assert got.where(F.col("k").between(120, 139)).count() == 0
+    # empty / all-null key frames are no-ops
+    v = tbl._latest_version()
+    assert tbl.delete_matching(spark, keys.where(F.lit(False)), ["k"]) == v
+    nulls = spark.createDataFrame([(None,)], "k long")
+    assert tbl.delete_matching(spark, nulls, ["k"]) == v
+
+
+def test_apply_cdc_reconciles_to_target(spark, tbl):
+    from dff.diff import apply_cdc
+
+    old = frame(spark, 0, 200)
+    tbl.append(old, n_files=2)
+    # target: drop [0,50), change v for k%3==0, add [200,250)
+    new = (
+        frame(spark, 50, 250)
+        .withColumn(
+            "v",
+            F.when(F.col("k") % 3 == 0, F.lit(-9.0)).otherwise(F.col("v")),
+        )
+    )
+    apply_cdc(spark, tbl, new, ["k"], ["grp", "v"])
+    got = tbl.scan(spark)
+    assert got.count() == 200
+    assert got.agg(F.min("k"), F.max("k")).first() == (50, 249)
+    assert (
+        got.where((F.col("k") % 3 == 0) & (F.col("v") != -9.0)).count() == 0
+    )
+    # idempotent: a second application is churn-free (two no-op commits)
+    rows_before = {tuple(r) for r in got.collect()}
+    apply_cdc(spark, tbl, new, ["k"], ["grp", "v"])
+    assert {tuple(r) for r in tbl.scan(spark).collect()} == rows_before
