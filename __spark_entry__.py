@@ -2300,6 +2300,47 @@ def q_cdc_apply(spark, sf_dir):
     return t.scan(spark).select("doc_id", "lang", "n_chars")
 
 
+def q_stats_prune_validation(spark, sf_dir):
+    """Stats-only validation fast path (dff/statsvalidate.py): documents
+    ingested as 8 doc_id-range-clustered files; three constraints —
+    doc_id >= 40%-of-max (clustered: stats decide 7/8 files),
+    n_chars between(100,400) (scattered: forces scans), and
+    not_null(maybe) with planted doc_id%11 nulls (decided from null
+    counts alone, zero scans).  The manifest-decided counts plus ONE
+    distributed pass over only the undecidable files must equal the full
+    per-rule violation counts the oracle computes over every row — the
+    10^12-file move: certify the provably-clean majority from metadata.
+    Reference analog: pandasql rule eval over the whole frame
+    (02_dff_orchestration.py), which re-reads everything every run."""
+    import tempfile
+
+    from dff.statsvalidate import StatsRule, validate_table_stats
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars"))
+        .alias("maybe"),
+    )
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    lo = max_id * 2 // 5
+    band = max_id // 8 + 1
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    for b in range(8):
+        part = d.where(
+            (F.col("doc_id") >= b * band) & (F.col("doc_id") < (b + 1) * band)
+        )
+        t.append(part, n_files=1)
+    rules = [
+        StatsRule("c_docid_ge", "doc_id", ">=", lo=lo),
+        StatsRule("c_maybe_nn", "maybe", "not_null"),
+        StatsRule("c_nchars_between", "n_chars", "between", lo=100, hi=400),
+    ]
+    return validate_table_stats(spark, t, rules)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2315,9 +2356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (time-travel / COW delete / MERGE upsert / incremental scan_added),
     #   plus a core sample spanning the engine's pillars (rule DAG, skew
     #   agg, dedup invariants, as-of).  Everything after position 50
-    #   already has a green CORRECTNESS row on record (r3 or r4).  Future
-    #   rounds: rotate any entry whose latest green row is >2 rounds old
-    #   into the window.
+    #   already has a green CORRECTNESS row on record (r3 or r4), except
+    #   entries marked "new r5 late" below (added after the window filled;
+    #   locally green under tools/check_oracle.py; rotate them in next
+    #   round).  Future rounds: rotate any entry whose latest green row is
+    #   >2 rounds old into the window.
     return {
         # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
         "ivf_incremental_full_probe": q_ivf_incremental_full_probe,
@@ -2370,7 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "scd2_intervals": q_scd2_intervals,
         "cdc_apply": q_cdc_apply,
-        # --- 8-query core sample (pillars; all green r4) -----------------
+        "stats_prune_validation": q_stats_prune_validation,
+        # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
         "stats_onepass": q_stats_onepass,
@@ -3042,6 +3086,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    n_chars
             FROM documents
             WHERE doc_id % 7 <> 0
+        """,
+        # stats-only validation: oracle replays every rule over every row;
+        # the engine must reach the same counts scanning only undecidable
+        # files (NULL counts as a violation for range rules)
+        "stats_prune_validation": """
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          ELSE n_chars END AS maybe
+              FROM documents
+            ),
+            lo AS (SELECT max(doc_id) * 2 // 5 AS v FROM documents)
+            SELECT 'c_docid_ge' AS constraint_id,
+                   CAST(sum(CASE WHEN doc_id IS NULL
+                                   OR doc_id < (SELECT v FROM lo)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+            FROM d
+            UNION ALL
+            SELECT 'c_maybe_nn',
+                   CAST(sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM d
+            UNION ALL
+            SELECT 'c_nchars_between',
+                   CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 100
+                                   OR n_chars > 400
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM d
         """,
         # fuzzy join: brute-force replay of the exact predicate
         "fuzzy_pairs": """
