@@ -2357,6 +2357,64 @@ def q_table_day_partition(spark, sf_dir):
     )
 
 
+def q_table_wap_publish(spark, sf_dir):
+    """Write-Audit-Publish (dff/tablefmt.py branches): even doc_ids land
+    on main; odd doc_ids arrive on branch 'ingest' and pass their audit
+    (scan_added + a not-null/lang constraint) -> published; a second
+    branch 'bad' carries rows relabeled lang=NULL, FAILS the audit and is
+    dropped.  The final main scan must be exactly the full documents
+    table — the bad batch never becomes visible to readers.  This is the
+    table-format realization of the engine's whole reason to exist:
+    validation gating visibility."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    t.append(d.where(F.col("doc_id") % 2 == 0), n_files=2)
+
+    good = t.create_branch("ingest")
+    good.append(d.where(F.col("doc_id") % 2 == 1), n_files=2)
+    audited = good.scan_added(spark, since_version=0)
+    if audited.where(F.col("lang").isNull()).count() == 0:
+        t.publish_branch("ingest")
+
+    bad = t.create_branch("bad")
+    bad.append(
+        d.where(F.col("doc_id") % 2 == 1).withColumn(
+            "lang", F.lit(None).cast("string")
+        ),
+        n_files=1,
+    )
+    if bad.scan_added(spark, since_version=0).where(
+        F.col("lang").isNull()
+    ).count() > 0:
+        t.drop_branch("bad")  # audit failed: never published
+
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
+def q_table_optimize_cluster(spark, sf_dir):
+    """OPTIMIZE (dff/tablefmt.py::rewrite_clustered): events ingested
+    unclustered (every file spans the full event_id range), then
+    rewritten range-clustered on event_id in one atomic commit; a
+    between-filter scan afterward opens a small fraction of files
+    (pruning counts pinned by tests/test_branches.py) and must return
+    exactly the oracle's rows — layout changes, data never does."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    e = _t(spark, sf_dir, "events")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/ev", e.schema)
+    t.append(e.repartition(8), n_files=8)
+    t.rewrite_clustered(spark, ["event_id"], n_files=8)
+    return t.scan(
+        spark, filters=[("event_id", "between", (2000, 3999))]
+    ).select("event_id", "event_type", "value")
+
+
 def q_stats_prune_validation(spark, sf_dir):
     """Stats-only validation fast path (dff/statsvalidate.py): documents
     ingested as 8 doc_id-range-clustered files; three constraints —
@@ -2475,6 +2533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new r5 late (past the 50-entry window; locally green under
         # tools/check_oracle.py; rotate into the window next round) ------
         "table_day_partition": q_table_day_partition,
+        "table_wap_publish": q_table_wap_publish,
+        "table_optimize_cluster": q_table_optimize_cluster,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3159,6 +3219,15 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-10'
               AND ts <  TIMESTAMP '2024-01-15'
             GROUP BY event_type
+        """,
+        # WAP: published main == base + the audited-good batch, exactly
+        "table_wap_publish": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # OPTIMIZE: layout rewrite must be row-invariant under any filter
+        "table_optimize_cluster": """
+            SELECT event_id, event_type, "value" FROM events
+            WHERE event_id BETWEEN 2000 AND 3999
         """,
         # stats-only validation: oracle replays every rule over every row;
         # the engine must reach the same counts scanning only undecidable

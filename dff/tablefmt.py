@@ -378,9 +378,18 @@ class Table:
     footer stats) and ``v{N}.json`` snapshots (manifest lists).  The tip
     is recovered by listing snapshots (``_version_hint`` is advisory)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, branch: str | None = None):
         self.root = os.path.abspath(root)
-        self.meta_dir = os.path.join(self.root, "metadata")
+        self.branch = branch
+        # manifests are shared across branches (immutable, uuid-named);
+        # only the SNAPSHOT chain is per-branch — a branch is just another
+        # linear commit log pointing into the same data + manifest pool
+        self.manifest_dir = os.path.join(self.root, "metadata")
+        self.meta_dir = (
+            self.manifest_dir
+            if branch is None
+            else os.path.join(self.root, "metadata", "branches", branch)
+        )
         self.data_dir = os.path.join(self.root, "data")
 
     # ---------------------------------------------------------- lifecycle
@@ -476,14 +485,14 @@ class Table:
         snap = self._snapshot(version)
         out = []
         for m in snap["manifests"]:
-            with open(os.path.join(self.meta_dir, m)) as f:
+            with open(os.path.join(self.manifest_dir, m)) as f:
                 out.extend(json.load(f)["entries"])
         return out
 
     # ------------------------------------------------------------ commit
     def _write_manifest(self, entries: list[dict]) -> str:
         name = f"manifest-{uuid.uuid4().hex}.json"
-        path = os.path.join(self.meta_dir, name)
+        path = os.path.join(self.manifest_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"entries": entries}, f)
@@ -523,7 +532,10 @@ class Table:
         return self._snapshot(version).get("partition_spec") or []
 
     def _materialize(
-        self, df: DataFrame, n_files: int | None = None
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        max_rows_per_file: int | None = None,
     ) -> list[dict]:
         """Write ``df`` as immutable UUID-named parquet under ``data/``
         and return manifest entries with footer stats.  The files are
@@ -545,7 +557,12 @@ class Table:
                 if n_files is None
                 else out.repartition(n_files, *pts)
             )
-            out.write.mode("overwrite").partitionBy(*pts).parquet(stage)
+            writer = out.write.mode("overwrite")
+            if max_rows_per_file:
+                # caps a hot partition's file size without extra shuffles:
+                # the writer rolls to a new file every N records
+                writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+            writer.partitionBy(*pts).parquet(stage)
             found = []
             for dirpath, _, files in os.walk(stage):
                 rel = os.path.relpath(dirpath, stage)
@@ -569,7 +586,10 @@ class Table:
                 )
         else:
             out = df if n_files is None else df.repartition(n_files)
-            out.write.mode("overwrite").parquet(stage)
+            writer = out.write.mode("overwrite")
+            if max_rows_per_file:
+                writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+            writer.parquet(stage)
             for name in sorted(os.listdir(stage)):
                 if not name.endswith(".parquet") or name.startswith((".", "_")):
                     continue
@@ -635,6 +655,7 @@ class Table:
         evolve: bool = False,
         max_retries: int = 5,
         idempotency_key: str | None = None,
+        max_rows_per_file: int | None = None,
     ) -> int:
         """Commit ``df`` as new data files.  Appends never conflict
         semantically, so a lost commit race rebases onto the new tip and
@@ -652,7 +673,7 @@ class Table:
             if v is not None:
                 return v
         aligned, schema_json = self._aligned(df, evolve)
-        entries = self._materialize(aligned, n_files)
+        entries = self._materialize(aligned, n_files, max_rows_per_file)
         manifest = self._write_manifest(entries) if entries else None
         summary = {
             "added_files": len(entries),
@@ -1041,12 +1062,174 @@ class Table:
             expected_parent=tip["version"],
         )
 
+    def rewrite_clustered(
+        self,
+        spark: SparkSession,
+        cluster_by: list[str],
+        n_files: int = 16,
+        method: str = "linear",
+    ) -> int:
+        """OPTIMIZE: rewrite the whole table clustered on ``cluster_by``
+        (Z-order for 2+ columns via :func:`dff.layout.zvalue`, range sort
+        for one) in ONE atomic snapshot commit — readers of the old
+        snapshot keep their file list; rows are bit-identical, only the
+        layout (and therefore the manifest min/max tightness) changes.
+        After clustering, ``scan(filters=...)`` range predicates prune to
+        the few files whose hyper-rectangle overlaps the query box."""
+        if self.partition_spec():
+            raise ValueError(
+                "rewrite_clustered on a partitioned table is not supported:"
+                " the partition spec already clusters writes"
+            )
+        from dff.layout import zvalue
+
+        snap = self._snapshot()
+        df = self.scan(spark, version=snap["version"])
+        key = (
+            F.col(cluster_by[0])
+            if len(cluster_by) == 1
+            else zvalue(df, list(cluster_by), method=method)
+        )
+        arranged = (
+            df.withColumn("__ck", key)
+            .repartitionByRange(n_files, "__ck")
+            .sortWithinPartitions("__ck")
+            .drop("__ck")
+        )
+        # n_files=None: _materialize must NOT reshuffle, or the range
+        # clustering (and the stats tightness it buys) is destroyed
+        entries = self._materialize(arranged)
+        manifests = [self._write_manifest(entries)] if entries else []
+        return self._commit(
+            {
+                "operation": "optimize",
+                "schema": snap["schema"],
+                "manifests": manifests,
+                "summary": {
+                    "cluster_by": list(cluster_by),
+                    "new_files": len(entries),
+                },
+            },
+            expected_parent=snap["version"],
+        )
+
+    # ----------------------------------------------- branches (WAP flow)
+    # Write-Audit-Publish: ingest lands on an isolated branch, the
+    # validation engine audits the branch scan, and only a green audit
+    # fast-forwards main — bad data is never visible to readers.  A branch
+    # is a second linear commit log under metadata/branches/<name>/
+    # sharing the table's data files and manifest pool; branching is O(1)
+    # (one snapshot file referencing the same manifests).
+
+    def _require_main(self, op: str) -> None:
+        if self.branch is not None:
+            raise ValueError(f"{op} must run on the main table, not a branch")
+
+    def list_branches(self) -> list[str]:
+        d = os.path.join(self.manifest_dir, "branches")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
+    def create_branch(self, name: str) -> "Table":
+        """Fork the current tip into branch ``name`` and return a Table
+        view of it — every Table operation works on the branch and commits
+        to its own chain; main never sees branch commits until publish."""
+        self._require_main("create_branch")
+        if not name or not all(c.isalnum() or c in "-_" for c in name):
+            raise ValueError(f"bad branch name {name!r}")
+        snap = self._snapshot()
+        br = Table(self.root, branch=name)
+        os.makedirs(br.meta_dir, exist_ok=False)
+        base = {
+            "operation": "branch",
+            "schema": snap["schema"],
+            "manifests": list(snap["manifests"]),
+            "summary": {"base_version": snap["version"]},
+        }
+        if snap.get("partition_spec"):
+            base["partition_spec"] = snap["partition_spec"]
+        br._commit(base, expected_parent=None)
+        return br
+
+    def branch_table(self, name: str) -> "Table":
+        br = Table(self.root, branch=name)
+        if br._latest_version() is None:
+            raise FileNotFoundError(f"no branch {name!r} under {self.root}")
+        return br
+
+    def drop_branch(self, name: str) -> None:
+        self._require_main("drop_branch")
+        shutil.rmtree(os.path.join(self.manifest_dir, "branches", name))
+
+    def publish_branch(self, name: str, max_retries: int = 5) -> int:
+        """Fast-forward main to the branch tip.  If main advanced since
+        the fork and the branch only ADDED files (the WAP ingest case),
+        the publish rebases — main's new manifests and the branch's new
+        manifests commute.  A branch that rewrote or deleted shared files
+        while main also moved raises :class:`CommitConflict` (the caller
+        re-forks and re-applies, as in any optimistic protocol)."""
+        self._require_main("publish_branch")
+        br = self.branch_table(name)
+        bsnap = br._snapshot()
+        base_v = br._snapshot(0)["summary"]["base_version"]
+        base = self._snapshot(base_v)
+        base_manifests = set(base["manifests"])
+        added = [m for m in bsnap["manifests"] if m not in base_manifests]
+        removed = base_manifests - set(bsnap["manifests"])
+        for _ in range(max_retries):
+            tip = self._snapshot()
+            if tip["version"] == base_v:
+                manifests = list(bsnap["manifests"])
+                schema = bsnap["schema"]
+            elif not removed:
+                have = set(tip["manifests"])
+                manifests = list(tip["manifests"]) + [
+                    m for m in added if m not in have
+                ]
+                branch_evolved = bsnap["schema"] != base["schema"]
+                main_evolved = tip["schema"] != base["schema"]
+                if branch_evolved and main_evolved:
+                    raise CommitConflict(
+                        f"branch {name!r} and main both evolved the schema"
+                    )
+                schema = bsnap["schema"] if branch_evolved else tip["schema"]
+            else:
+                raise CommitConflict(
+                    f"branch {name!r} rewrote files {sorted(removed)[:3]}... "
+                    "while main advanced — re-fork and re-apply"
+                )
+            try:
+                return self._commit(
+                    {
+                        "operation": "publish",
+                        "schema": schema,
+                        "manifests": manifests,
+                        "summary": {
+                            "branch": name,
+                            "branch_version": bsnap["version"],
+                        },
+                    },
+                    expected_parent=tip["version"],
+                )
+            except CommitConflict:
+                # a racer advanced main: loop re-reads the tip and retries
+                # via the rebase path (which raises itself if not rebasable)
+                continue
+        raise CommitConflict(f"publish lost {max_retries} commit races")
+
     # ------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and garbage-
         collect manifests and data files no kept snapshot references.
         Returns counts.  Readers of expired versions lose time travel —
-        the standard retention trade."""
+        the standard retention trade.  Branches keep everything they
+        reference alive (their whole chains — trimming a branch is
+        ``drop_branch``'s job)."""
+        self._require_main("expire_snapshots")
         tip = self._latest_version()
         keep_versions = set()
         v = tip
@@ -1063,6 +1246,12 @@ class Table:
             live_manifests.update(snap["manifests"])
             for e in self.entries(v):
                 live_files.add(os.path.basename(e["path"]))
+        for bname in self.list_branches():
+            br = Table(self.root, branch=bname)
+            for h in br.history():
+                live_manifests.update(br._snapshot(h["version"])["manifests"])
+                for e in br.entries(h["version"]):
+                    live_files.add(os.path.basename(e["path"]))
         dropped = {"snapshots": 0, "manifests": 0, "data_files": 0}
         for name in os.listdir(self.meta_dir):
             if name.startswith("v") and name.endswith(".json"):
@@ -1082,13 +1271,18 @@ class Table:
         """Remove data files no snapshot references (crashed writers) and
         stale ``.stage-*`` dirs.  ``grace_seconds`` protects files an
         IN-FLIGHT commit has materialized but not yet committed."""
+        self._require_main("gc_orphans")
         live: set[str] = set()
-        tip = self._latest_version()
-        for v in range((tip or 0) + 1):
-            if not os.path.exists(self._snapshot_path(v)):
-                continue
-            for e in self.entries(v):
-                live.add(os.path.basename(e["path"]))
+        tables = [self] + [
+            Table(self.root, branch=b) for b in self.list_branches()
+        ]
+        for t in tables:
+            tip = t._latest_version()
+            for v in range((tip or 0) + 1):
+                if not os.path.exists(t._snapshot_path(v)):
+                    continue
+                for e in t.entries(v):
+                    live.add(os.path.basename(e["path"]))
         now = time.time()
         removed = 0
         for name in os.listdir(self.data_dir):
