@@ -2415,6 +2415,58 @@ def q_table_optimize_cluster(spark, sf_dir):
     ).select("event_id", "event_type", "value")
 
 
+def q_table_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE (dff/tablefmt.py:delete_matching_mor): the
+    doc_id % 7 == 3 keys become an equality-delete file — ZERO data files
+    are read or rewritten (asserted in-run) — then the % 21 == 3 subset
+    re-appends with lang='re'.  Sequence numbers make the tombstone apply
+    only to files OLDER than the delete, so the re-inserted rows survive;
+    the oracle replays both effects in ANSI SQL."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    for r in range(2):
+        t.append(d.where(F.col("doc_id") % 2 == r), n_files=2)
+    files_before = {e["path"] for e in t.entries()}
+    t.delete_matching_mor(
+        spark, d.where(F.col("doc_id") % 7 == 3).select("doc_id"), ["doc_id"]
+    )
+    assert {e["path"] for e in t.entries()} == files_before  # MOR: no rewrite
+    t.append(
+        d.where(F.col("doc_id") % 21 == 3).withColumn("lang", F.lit("re")),
+        n_files=1,
+    )
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
+def q_table_mor_merge(spark, sf_dir):
+    """MERGE INTO, merge-on-read (dff/tablefmt.py:merge_upsert mode=mor):
+    identical semantics to the COW gate (same oracle SQL) but the target
+    is NEVER read — source keys land as an equality-delete file and the
+    source rows append, so a daily upsert into a 100 TB table costs
+    O(batch).  In-run assert: every pre-merge data file survives
+    untouched."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    for r in range(4):
+        t.append(d.where(F.col("doc_id") % 4 == r), n_files=1)
+    files_before = {e["path"] for e in t.entries()}
+    upd = d.where(F.col("doc_id") % 7 == 0).withColumn("lang", F.lit("xx"))
+    ins = d.where(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    t.merge_upsert(spark, upd.unionByName(ins), ["doc_id"], mode="mor")
+    assert files_before <= {e["path"] for e in t.entries()}
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
 def q_stats_prune_validation(spark, sf_dir):
     """Stats-only validation fast path (dff/statsvalidate.py): documents
     ingested as 8 doc_id-range-clustered files; three constraints —
@@ -2535,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_day_partition": q_table_day_partition,
         "table_wap_publish": q_table_wap_publish,
         "table_optimize_cluster": q_table_optimize_cluster,
+        "table_mor_delete": q_table_mor_delete,
+        "table_mor_merge": q_table_mor_merge,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3173,6 +3227,29 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE doc_id % 3 IN (1, 2)
+        """,
+        # MOR delete: tombstoned keys vanish, the later re-append survives
+        "table_mor_delete": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 7 <> 3
+            UNION ALL
+            SELECT doc_id, 're' AS lang, n_chars FROM documents
+            WHERE doc_id % 21 = 3
+        """,
+        # MOR merge: row-level semantics identical to the COW merge gate
+        "table_mor_merge": """
+            WITH src AS (
+              SELECT doc_id, 'xx' AS lang, n_chars
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = d.doc_id)
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM src
         """,
         # exactly-once stream sink: loss-free, duplication-free landing
         "table_stream_sink": """

@@ -116,6 +116,14 @@ class StatsValidationPlan:
 def plan_stats_validation(
     table: Table, rules: list[StatsRule], version: int | None = None
 ) -> StatsValidationPlan:
+    if table.delete_entries(version):
+        # manifest stats describe the file AS WRITTEN; pending equality
+        # deletes remove rows the stats still count, so every stats-only
+        # decision would overcount.  Fold tombstones in first.
+        raise ValueError(
+            "stats-only validation needs no pending MOR deletes: run "
+            "table.compact() (or any full rewrite) first"
+        )
     entries = table.entries(version)
     decided = {r.constraint_id: 0 for r in rules}
     scan_flags: dict = {}

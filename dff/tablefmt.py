@@ -489,6 +489,43 @@ class Table:
                 out.extend(json.load(f)["entries"])
         return out
 
+    def delete_entries(self, version: int | None = None) -> list[dict]:
+        """Pending equality-delete file entries of a snapshot (path, rows,
+        bytes, ``cols`` — the key tuple — and ``seq``).  Empty on a table
+        with no merge-on-read deletes outstanding."""
+        snap = self._snapshot(version)
+        out = []
+        for m in snap.get("delete_manifests", []):
+            with open(os.path.join(self.manifest_dir, m)) as f:
+                out.extend(json.load(f)["entries"])
+        return out
+
+    @staticmethod
+    def _seq_of(snap: dict) -> int:
+        # sequence numbers order writes for delete applicability; they are
+        # decoupled from version numbers so a branch publish can adopt the
+        # branch chain's higher sequences without renumbering manifests
+        return snap.get("seq", snap["version"])
+
+    def _live_delete_manifests(
+        self, data_entries: list[dict], names: list[str]
+    ) -> list[str]:
+        """Drop delete manifests that no longer apply to ANY data entry
+        (every remaining file is newer than the delete) — rewrites call
+        this so applied deletes are reclaimed instead of haunting scans."""
+        if not names:
+            return []
+        min_seq = min((e.get("seq", 0) for e in data_entries), default=None)
+        if min_seq is None:
+            return []  # empty table: nothing left to delete from
+        keep = []
+        for m in names:
+            with open(os.path.join(self.manifest_dir, m)) as f:
+                des = json.load(f)["entries"]
+            if any(d["seq"] > min_seq for d in des):
+                keep.append(m)
+        return keep
+
     # ------------------------------------------------------------ commit
     def _write_manifest(self, entries: list[dict]) -> str:
         name = f"manifest-{uuid.uuid4().hex}.json"
@@ -505,10 +542,17 @@ class Table:
         version ``expected_parent + 1`` first."""
         version = 0 if expected_parent is None else expected_parent + 1
         snap = dict(snap)
-        if "partition_spec" not in snap and expected_parent is not None:
+        if expected_parent is not None:
             parent = self._snapshot(expected_parent)
-            if parent.get("partition_spec"):
+            if "partition_spec" not in snap and parent.get("partition_spec"):
                 snap["partition_spec"] = parent["partition_spec"]
+            if "seq" not in snap:
+                snap["seq"] = self._seq_of(parent) + 1
+            if "delete_manifests" not in snap:
+                # pending MOR deletes survive unrelated commits untouched
+                snap["delete_manifests"] = parent.get("delete_manifests", [])
+        else:
+            snap.setdefault("seq", 0)
         snap["parent"] = expected_parent
         snap["ts"] = time.time()
         path = self._snapshot_path(version)
@@ -536,6 +580,7 @@ class Table:
         df: DataFrame,
         n_files: int | None = None,
         max_rows_per_file: int | None = None,
+        partitioned: bool = True,
     ) -> list[dict]:
         """Write ``df`` as immutable UUID-named parquet under ``data/``
         and return manifest entries with footer stats.  The files are
@@ -544,7 +589,11 @@ class Table:
         writer on the TRANSFORMED values (one distributed pass — the
         shuffle clusters each partition into one task), and every entry
         records its typed partition tuple for driver-side pruning."""
-        spec = self.partition_spec() if self.exists(self.root) else []
+        spec = (
+            self.partition_spec()
+            if partitioned and self.exists(self.root)
+            else []
+        )
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         entries = []
         if spec:
@@ -674,15 +723,26 @@ class Table:
                 return v
         aligned, schema_json = self._aligned(df, evolve)
         entries = self._materialize(aligned, n_files, max_rows_per_file)
-        manifest = self._write_manifest(entries) if entries else None
         summary = {
             "added_files": len(entries),
             "added_rows": sum(e["rows"] for e in entries),
         }
         if idempotency_key is not None:
             summary["idempotency_key"] = idempotency_key
+        manifest = None
+        stamped_seq = None
         for _ in range(max_retries):
             snap = self._snapshot()
+            seq = self._seq_of(snap) + 1
+            if entries and seq != stamped_seq:
+                # re-seq after a lost race: the manifest (cheap JSON) is
+                # rewritten so these files sort AFTER the commit that won
+                # — a concurrent MOR delete must not claim rows it never
+                # saw.  Data files are untouched; stale manifests are GC'd.
+                for e in entries:
+                    e["seq"] = seq
+                manifest = self._write_manifest(entries)
+                stamped_seq = seq
             manifests = list(snap["manifests"])
             if manifest:
                 manifests.append(manifest)
@@ -692,6 +752,7 @@ class Table:
                         "operation": "append",
                         "schema": schema_json,
                         "manifests": manifests,
+                        "seq": seq,
                         "summary": summary,
                     },
                     expected_parent=snap["version"],
@@ -707,13 +768,19 @@ class Table:
     def overwrite(self, df: DataFrame, n_files: int | None = None) -> int:
         aligned, schema_json = self._aligned(df, evolve=False)
         entries = self._materialize(aligned, n_files)
-        manifests = [self._write_manifest(entries)] if entries else []
         snap = self._snapshot()
+        seq = self._seq_of(snap) + 1
+        for e in entries:
+            e["seq"] = seq
+        manifests = [self._write_manifest(entries)] if entries else []
         return self._commit(
             {
                 "operation": "overwrite",
                 "schema": schema_json,
                 "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": [],  # the replaced rows take any
+                # pending tombstones with them
                 "summary": {"added_files": len(entries)},
             },
             expected_parent=snap["version"],
@@ -741,13 +808,64 @@ class Table:
                 if _may_match(e, filters)
                 and (not spec or _partition_may_match(e, filters, spec))
             ]
+        return self._read_with_deletes(
+            spark,
+            entries,
+            schema,
+            self.delete_entries(snap["version"]),
+            filters=filters,
+        )
+
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        schema: T.StructType,
+        deletes: list[dict],
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Read data entries with pending equality deletes applied.  A
+        delete file applies to a data file iff the data file's sequence
+        number is strictly LOWER (rows appended after the delete survive).
+        Entries are grouped by applicable-delete subset — in steady state
+        one group — and each group anti-joins the union of its delete
+        files per key-column tuple, broadcast while the tombstones are
+        small (they are bounded by churn, not table size)."""
         if not entries:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, e["path"]) for e in entries]
-        df = spark.read.schema(schema).parquet(*paths)
-        if filters:
-            df = df.where(_filters_to_column(filters))
-        return df
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            applicable = tuple(
+                i
+                for i, d in enumerate(deletes)
+                if e.get("seq", 0) < d["seq"]
+            )
+            groups.setdefault(applicable, []).append(e)
+        out = None
+        for applicable, es in groups.items():
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, e["path"]) for e in es]
+            )
+            if filters:
+                df = df.where(_filters_to_column(filters))
+            bycols: dict[tuple, list[dict]] = {}
+            for i in applicable:
+                bycols.setdefault(
+                    tuple(deletes[i]["cols"]), []
+                ).append(deletes[i])
+            for cols, ds in bycols.items():
+                dk = (
+                    spark.read.parquet(
+                        *[os.path.join(self.root, d["path"]) for d in ds]
+                    )
+                    .select(*cols)
+                    .distinct()
+                )
+                if sum(d["bytes"] for d in ds) < (32 << 20):
+                    dk = F.broadcast(dk)
+                df = df.join(dk, list(cols), "left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def added_entries(
         self, since_version: int, until_version: int | None = None
@@ -775,10 +893,8 @@ class Table:
         snap = self._snapshot(until_version)
         schema = T.StructType.fromJson(snap["schema"])
         entries = self.added_entries(since_version, snap["version"])
-        if not entries:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, e["path"]) for e in entries]
+        return self._read_with_deletes(
+            spark, entries, schema, self.delete_entries(snap["version"])
         )
 
     def scan_file_count(
@@ -824,18 +940,22 @@ class Table:
         if not hit:
             return snap["version"]  # predicate provably matches nothing
         schema = T.StructType.fromJson(snap["schema"])
-        paths = [os.path.join(self.root, e["path"]) for e in hit]
+        deletes = self.delete_entries(snap["version"])
+        seq = self._seq_of(snap) + 1
         # DELETE removes rows where the predicate is TRUE; NULL-predicate
         # rows (e.g. NULL in the filter column) survive — same semantics
         # as ANSI DELETE WHERE and the manifest-level _may_match pruning
-        # (an all-NULL file is carried by reference, i.e. kept).
+        # (an all-NULL file is carried by reference, i.e. kept).  Pending
+        # MOR deletes are applied to the rewritten rows (the new files get
+        # a NEWER sequence, so the old tombstones would stop covering
+        # them — dropping the rows now prevents resurrection).
         pred = _filters_to_column(filters)
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(*paths)
-            .where(~F.coalesce(pred, F.lit(False)))
-        )
+        survivors = self._read_with_deletes(
+            spark, hit, schema, deletes
+        ).where(~F.coalesce(pred, F.lit(False)))
         new_entries = self._materialize(survivors)
+        for e in new_entries:
+            e["seq"] = seq
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
@@ -846,6 +966,10 @@ class Table:
                 "operation": "delete",
                 "schema": snap["schema"],
                 "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": self._live_delete_manifests(
+                    keep + new_entries, snap.get("delete_manifests", [])
+                ),
                 "summary": {
                     "rewritten_files": len(hit),
                     "carried_files": len(keep),
@@ -861,6 +985,7 @@ class Table:
         key_cols: list[str],
         evolve: bool = False,
         check_unique_keys: bool = True,
+        mode: str = "cow",
     ) -> int:
         """``MERGE INTO target USING source ON keys WHEN MATCHED THEN
         UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the Delta-style
@@ -884,9 +1009,24 @@ class Table:
         ``check_unique_keys`` pays one small aggregation on the source to
         fail fast.  ``evolve=True`` lets the source add columns (old rows
         read NULL).  One atomic snapshot commit; concurrent conflicting
-        commits raise :class:`CommitConflict`."""
+        commits raise :class:`CommitConflict`.
+
+        ``mode="mor"`` is the merge-on-read realization: the source keys
+        become an equality-delete file and the source rows append — the
+        TARGET IS NEVER READ, so a daily upsert into a 100 TB table costs
+        O(batch) regardless of how many files the keys overlap.  Readers
+        pay a broadcast anti-join until :meth:`compact` folds the
+        tombstones in.  Row-level semantics are identical to COW (pinned
+        by tests); MOR merges are additive, so lost commit races rebase
+        and retry like appends instead of raising."""
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        if mode == "mor":
+            return self._merge_upsert_mor(
+                spark, source, key_cols, evolve, check_unique_keys
+            )
         snap = self._snapshot()
         aligned_src, schema_json = self._aligned(source, evolve)
         merged_fields = T.StructType.fromJson(schema_json).fields
@@ -926,10 +1066,11 @@ class Table:
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in merged_fields
         ]
+        seq = self._seq_of(snap) + 1
         new_entries: list[dict] = []
         if hit:
-            target_hit = spark.read.schema(old_schema).parquet(
-                *[os.path.join(self.root, e["path"]) for e in hit]
+            target_hit = self._read_with_deletes(
+                spark, hit, old_schema, self.delete_entries(snap["version"])
             )
             survivors = target_hit.join(
                 aligned_src.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -940,6 +1081,8 @@ class Table:
             # NULL for the new columns via the snapshot schema
             pass
         new_entries.extend(self._materialize(aligned_src))
+        for e in new_entries:
+            e["seq"] = seq
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
@@ -950,12 +1093,166 @@ class Table:
                 "operation": "merge",
                 "schema": schema_json,
                 "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": self._live_delete_manifests(
+                    keep + new_entries, snap.get("delete_manifests", [])
+                ),
                 "summary": {
                     "rewritten_files": len(hit),
                     "carried_files": len(keep),
                 },
             },
             expected_parent=snap["version"],
+        )
+
+    def _merge_upsert_mor(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        evolve: bool,
+        check_unique_keys: bool,
+        max_retries: int = 5,
+    ) -> int:
+        aligned_src, schema_json = self._aligned(source, evolve)
+        if check_unique_keys:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"source has multiple rows for key {dup[0][:-1]!r}; "
+                    "MERGE update would be ambiguous"
+                )
+        # NULL keys never match (SQL equality) — they insert but must not
+        # land in the tombstone set, or they'd null-safe-nothing anyway;
+        # filtering keeps the delete file dense
+        dk = aligned_src.select(*key_cols).distinct()
+        for k in key_cols:
+            dk = dk.where(F.col(k).isNotNull())
+        del_entries = self._materialize(dk, n_files=1, partitioned=False)
+        data_entries = self._materialize(aligned_src)
+        stamped_seq = None
+        dm = data_manifest = None
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            seq = self._seq_of(snap) + 1
+            if seq != stamped_seq:
+                # source data files get seq == the delete's seq: strict-<
+                # applicability deletes every OLDER copy of a key but
+                # never the row this very merge appends
+                for e in del_entries:
+                    e["seq"] = seq
+                    e["cols"] = list(key_cols)
+                for e in data_entries:
+                    e["seq"] = seq
+                dm = (
+                    self._write_manifest(del_entries)
+                    if del_entries
+                    else None
+                )
+                data_manifest = (
+                    self._write_manifest(data_entries)
+                    if data_entries
+                    else None
+                )
+                stamped_seq = seq
+            manifests = list(snap["manifests"])
+            if data_manifest:
+                manifests.append(data_manifest)
+            delete_manifests = list(snap.get("delete_manifests", []))
+            if dm:
+                delete_manifests.append(dm)
+            try:
+                return self._commit(
+                    {
+                        "operation": "merge-mor",
+                        "schema": schema_json,
+                        "manifests": manifests,
+                        "seq": seq,
+                        "delete_manifests": delete_manifests,
+                        "summary": {
+                            "added_files": len(data_entries),
+                            "delete_files": len(del_entries),
+                            "cols": list(key_cols),
+                        },
+                    },
+                    expected_parent=snap["version"],
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"merge-mor lost {max_retries} commit races"
+        )
+
+    def delete_matching_mor(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key_cols: list[str],
+        n_files: int = 1,
+        max_retries: int = 5,
+    ) -> int:
+        """Merge-on-read DELETE: write the key tuples as an equality-
+        delete file and commit — NO data file is read or rewritten.
+        Scans anti-join pending tombstones against every data file with
+        a LOWER sequence number, so rows appended after the delete with
+        the same key survive; :meth:`compact` (or any COW rewrite of the
+        covered files) folds tombstones in and reclaims them.  Deleting
+        yesterday's bad batch from a 100 TB table costs O(batch): one
+        tombstone write plus one O(1) commit, where COW pays a rewrite of
+        every stat-overlapping file.  NULL-keyed rows never match (SQL
+        equality — same contract as :meth:`delete_matching`).  Deletes
+        are additive, so lost commit races rebase and retry; the
+        serialized order is commit order, meaning a delete that loses a
+        race to a concurrent append of key K deletes K's new row too —
+        exactly what DELETE-after-INSERT means."""
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        dk = keys.select(*key_cols).distinct()
+        for k in key_cols:
+            dk = dk.where(F.col(k).isNotNull())
+        entries = self._materialize(dk, n_files=n_files, partitioned=False)
+        if not entries:
+            return self._snapshot()["version"]
+        stamped_seq = None
+        dm = None
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            seq = self._seq_of(snap) + 1
+            if seq != stamped_seq:
+                for e in entries:
+                    e["seq"] = seq
+                    e["cols"] = list(key_cols)
+                dm = self._write_manifest(entries)
+                stamped_seq = seq
+            try:
+                return self._commit(
+                    {
+                        "operation": "mor-delete",
+                        "schema": snap["schema"],
+                        "manifests": list(snap["manifests"]),
+                        "seq": seq,
+                        "delete_manifests": list(
+                            snap.get("delete_manifests", [])
+                        )
+                        + [dm],
+                        "summary": {
+                            "delete_files": len(entries),
+                            "delete_rows": sum(e["rows"] for e in entries),
+                            "cols": list(key_cols),
+                        },
+                    },
+                    expected_parent=snap["version"],
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"mor-delete lost {max_retries} commit races"
         )
 
     def delete_matching(
@@ -985,12 +1282,13 @@ class Table:
         if not hit:
             return snap["version"]
         schema = T.StructType.fromJson(snap["schema"])
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(*[os.path.join(self.root, e["path"]) for e in hit])
-            .join(keys.select(*key_cols).distinct(), key_cols, "left_anti")
-        )
+        seq = self._seq_of(snap) + 1
+        survivors = self._read_with_deletes(
+            spark, hit, schema, self.delete_entries(snap["version"])
+        ).join(keys.select(*key_cols).distinct(), key_cols, "left_anti")
         new_entries = self._materialize(survivors)
+        for e in new_entries:
+            e["seq"] = seq
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
@@ -1001,6 +1299,10 @@ class Table:
                 "operation": "delete",
                 "schema": snap["schema"],
                 "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": self._live_delete_manifests(
+                    keep + new_entries, snap.get("delete_manifests", [])
+                ),
                 "summary": {
                     "rewritten_files": len(hit),
                     "carried_files": len(keep),
@@ -1019,16 +1321,28 @@ class Table:
         their exact file list; the new tip appears or nothing does."""
         snap = self._snapshot()
         entries = self.entries(snap["version"])
+        deletes = self.delete_entries(snap["version"])
         small = [e for e in entries if e["bytes"] < target_file_bytes]
         keep = [e for e in entries if e["bytes"] >= target_file_bytes]
-        if len(small) < 2:
+        if deletes and not small:
+            # nothing to bin-pack, but pending tombstones: fold them into
+            # their covered files so readers stop paying the anti-join
+            covered = [
+                e
+                for e in entries
+                if any(e.get("seq", 0) < d["seq"] for d in deletes)
+            ]
+            small = covered
+            keep = [e for e in entries if e not in covered]
+        if len(small) < 2 and not (deletes and small):
             return snap["version"]
         schema = T.StructType.fromJson(snap["schema"])
+        seq = self._seq_of(snap) + 1
         n_files = max(1, -(-sum(e["bytes"] for e in small) // target_file_bytes))
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, e["path"]) for e in small]
-        )
+        df = self._read_with_deletes(spark, small, schema, deletes)
         new_entries = self._materialize(df, n_files=n_files)
+        for e in new_entries:
+            e["seq"] = seq
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
@@ -1039,6 +1353,10 @@ class Table:
                 "operation": "compact",
                 "schema": snap["schema"],
                 "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": self._live_delete_manifests(
+                    keep + new_entries, snap.get("delete_manifests", [])
+                ),
                 "summary": {
                     "compacted_files": len(small),
                     "new_files": len(new_entries),
@@ -1057,6 +1375,9 @@ class Table:
                 "operation": "rollback",
                 "schema": old["schema"],
                 "manifests": old["manifests"],
+                # the old file set pairs with the old tombstone set —
+                # restoring one without the other would resurrect rows
+                "delete_manifests": old.get("delete_manifests", []),
                 "summary": {"to_version": version},
             },
             expected_parent=tip["version"],
@@ -1098,13 +1419,22 @@ class Table:
         )
         # n_files=None: _materialize must NOT reshuffle, or the range
         # clustering (and the stats tightness it buys) is destroyed
+        seq = self._seq_of(snap) + 1
         entries = self._materialize(arranged)
+        for e in entries:
+            e["seq"] = seq
         manifests = [self._write_manifest(entries)] if entries else []
         return self._commit(
             {
                 "operation": "optimize",
                 "schema": snap["schema"],
                 "manifests": manifests,
+                "seq": seq,
+                # the scan above applied every pending tombstone; a full
+                # rewrite therefore retires them all
+                "delete_manifests": self._live_delete_manifests(
+                    entries, snap.get("delete_manifests", [])
+                ),
                 "summary": {
                     "cluster_by": list(cluster_by),
                     "new_files": len(entries),
@@ -1148,6 +1478,10 @@ class Table:
             "operation": "branch",
             "schema": snap["schema"],
             "manifests": list(snap["manifests"]),
+            "delete_manifests": list(snap.get("delete_manifests", [])),
+            # the branch chain continues main's sequence numbering so its
+            # commits order correctly against pre-fork tombstones
+            "seq": self._seq_of(snap),
             "summary": {"base_version": snap["version"]},
         }
         if snap.get("partition_spec"):
@@ -1171,7 +1505,11 @@ class Table:
         the publish rebases — main's new manifests and the branch's new
         manifests commute.  A branch that rewrote or deleted shared files
         while main also moved raises :class:`CommitConflict` (the caller
-        re-forks and re-applies, as in any optimistic protocol)."""
+        re-forks and re-applies, as in any optimistic protocol).  MOR
+        deletes count as rewrites for this rule: a rebase is refused if
+        EITHER side changed the tombstone set since the fork, because
+        sequence numbers minted concurrently on two chains have no
+        defined order against each other."""
         self._require_main("publish_branch")
         br = self.branch_table(name)
         bsnap = br._snapshot()
@@ -1180,16 +1518,38 @@ class Table:
         base_manifests = set(base["manifests"])
         added = [m for m in bsnap["manifests"] if m not in base_manifests]
         removed = base_manifests - set(bsnap["manifests"])
+        b_dm = list(bsnap.get("delete_manifests", []))
+        base_dm = list(base.get("delete_manifests", []))
         for _ in range(max_retries):
             tip = self._snapshot()
+            tip_dm = list(tip.get("delete_manifests", []))
             if tip["version"] == base_v:
                 manifests = list(bsnap["manifests"])
                 schema = bsnap["schema"]
-            elif not removed:
+                delete_manifests = b_dm
+                # adopting the branch chain verbatim: adopt its sequence
+                # high-water mark too, so future tombstones outrank every
+                # file the branch added
+                seq = self._seq_of(bsnap)
+            elif removed or b_dm != base_dm or tip_dm != base_dm:
+                # concurrent sequence numbers from two chains have no
+                # defined order — a rebase is only sound when NEITHER side
+                # touched row-level deletes since the fork (same rule as
+                # rewrites: re-fork and re-apply)
+                raise CommitConflict(
+                    f"branch {name!r} cannot rebase: it rewrote files, or "
+                    "MOR deletes changed on either side since the fork — "
+                    "re-fork and re-apply"
+                )
+            else:
                 have = set(tip["manifests"])
                 manifests = list(tip["manifests"]) + [
                     m for m in added if m not in have
                 ]
+                delete_manifests = tip_dm
+                # both chains stamped entries past the fork point; future
+                # tombstones must outrank ALL of them
+                seq = max(self._seq_of(tip), self._seq_of(bsnap))
                 branch_evolved = bsnap["schema"] != base["schema"]
                 main_evolved = tip["schema"] != base["schema"]
                 if branch_evolved and main_evolved:
@@ -1197,17 +1557,14 @@ class Table:
                         f"branch {name!r} and main both evolved the schema"
                     )
                 schema = bsnap["schema"] if branch_evolved else tip["schema"]
-            else:
-                raise CommitConflict(
-                    f"branch {name!r} rewrote files {sorted(removed)[:3]}... "
-                    "while main advanced — re-fork and re-apply"
-                )
             try:
                 return self._commit(
                     {
                         "operation": "publish",
                         "schema": schema,
                         "manifests": manifests,
+                        "seq": seq,
+                        "delete_manifests": delete_manifests,
                         "summary": {
                             "branch": name,
                             "branch_version": bsnap["version"],
@@ -1244,13 +1601,18 @@ class Table:
         for v in keep_versions:
             snap = self._snapshot(v)
             live_manifests.update(snap["manifests"])
-            for e in self.entries(v):
+            live_manifests.update(snap.get("delete_manifests", []))
+            for e in self.entries(v) + self.delete_entries(v):
                 live_files.add(os.path.basename(e["path"]))
         for bname in self.list_branches():
             br = Table(self.root, branch=bname)
             for h in br.history():
-                live_manifests.update(br._snapshot(h["version"])["manifests"])
-                for e in br.entries(h["version"]):
+                bs = br._snapshot(h["version"])
+                live_manifests.update(bs["manifests"])
+                live_manifests.update(bs.get("delete_manifests", []))
+                for e in br.entries(h["version"]) + br.delete_entries(
+                    h["version"]
+                ):
                     live_files.add(os.path.basename(e["path"]))
         dropped = {"snapshots": 0, "manifests": 0, "data_files": 0}
         for name in os.listdir(self.meta_dir):
@@ -1281,7 +1643,7 @@ class Table:
             for v in range((tip or 0) + 1):
                 if not os.path.exists(t._snapshot_path(v)):
                     continue
-                for e in t.entries(v):
+                for e in t.entries(v) + t.delete_entries(v):
                     live.add(os.path.basename(e["path"]))
         now = time.time()
         removed = 0
