@@ -139,6 +139,77 @@ def main() -> None:
     results["merge_rewritten_files"] = rewritten[0]
     results["merge_carried_files"] = rewritten[1]
 
+    # -- (2b) MOR merge: tombstone + append, target never read ----------
+    mor_runs, mor_scan, cow_scan, fold_runs, folded_scan = [], [], [], [], []
+    for _ in range(args.repeats):
+        t = fresh_table("mor")
+        t0 = time.perf_counter()
+        t.merge_upsert(spark, delta, ["row_id"], check_unique_keys=False,
+                       mode="mor")
+        mor_runs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n = t.scan(spark).count()  # the read tax: tombstone anti-join
+        mor_scan.append(time.perf_counter() - t0)
+        assert n == n_src
+        assert (
+            t.scan(spark).where(F.col("lang") == "upserted").count() == n_delta
+        )
+        t0 = time.perf_counter()
+        t.compact(spark, target_file_bytes=64 << 20)
+        fold_runs.append(time.perf_counter() - t0)
+        assert t.delete_entries() == []  # tombstones reclaimed
+        t0 = time.perf_counter()
+        assert t.scan(spark).count() == n_src
+        folded_scan.append(time.perf_counter() - t0)
+        shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
+        # the COW-merged table's scan, for the read-tax comparison
+        t = fresh_table("cowscan")
+        t.merge_upsert(spark, delta, ["row_id"], check_unique_keys=False)
+        t0 = time.perf_counter()
+        assert t.scan(spark).count() == n_src
+        cow_scan.append(time.perf_counter() - t0)
+        shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
+    results["mor_merge_sec"] = round(min(mor_runs), 3)
+    results["mor_merge_runs_sec"] = [round(r, 3) for r in mor_runs]
+    results["mor_scan_sec"] = round(min(mor_scan), 3)
+    results["cow_scan_sec"] = round(min(cow_scan), 3)
+    results["mor_compact_sec"] = round(min(fold_runs), 3)
+    results["mor_scan_after_compact_sec"] = round(min(folded_scan), 3)
+
+    # -- (2c) scattered delta: keys span EVERY file ----------------------
+    # the structural MOR case — stats can't prune anything, so COW
+    # rewrites the whole table while MOR still costs O(batch)
+    scattered = (
+        src.withColumn("__b", F.pmod(F.xxhash64("row_id"), F.lit(100)))
+        .where(F.col("__b") == 0)
+        .drop("__b")
+        .withColumn("lang", F.lit("upserted"))
+        .cache()
+    )
+    n_scattered = scattered.count()
+    cow_sc, mor_sc, cow_sc_files = [], [], None
+    for _ in range(args.repeats):
+        t = fresh_table("cowsc")
+        t0 = time.perf_counter()
+        t.merge_upsert(spark, scattered, ["row_id"], check_unique_keys=False)
+        cow_sc.append(time.perf_counter() - t0)
+        cow_sc_files = t._snapshot()["summary"]["rewritten_files"]
+        shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
+        t = fresh_table("morsc")
+        t0 = time.perf_counter()
+        t.merge_upsert(spark, scattered, ["row_id"], check_unique_keys=False,
+                       mode="mor")
+        mor_sc.append(time.perf_counter() - t0)
+        assert t.scan(spark).count() == n_src
+        shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
+    results["scattered_delta_rows"] = n_scattered
+    results["cow_scattered_sec"] = round(min(cow_sc), 3)
+    results["cow_scattered_rewritten_files"] = cow_sc_files
+    results["mor_scattered_sec"] = round(min(mor_sc), 3)
+    results["mor_scattered_speedup"] = round(
+        min(cow_sc) / min(mor_sc), 2
+    )
+
     # -- (3) full-table overwrite path (no file-level COW) --------------
     ow_runs = []
     for _ in range(args.repeats):
