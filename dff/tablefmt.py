@@ -897,6 +897,97 @@ class Table:
             spark, entries, schema, self.delete_entries(snap["version"])
         )
 
+    def plan_files_distributed(
+        self,
+        spark: SparkSession,
+        filters: list[tuple] | None = None,
+        version: int | None = None,
+    ) -> list[dict]:
+        """Manifest pruning as a DISTRIBUTED job: the same keep-or-prune
+        decision as the driver loop (``_may_match``, bit-identical
+        semantics — parity pinned by tests), but evaluated by Catalyst
+        over the manifest JSONs.  The driver loop is O(total files) in
+        Python — fine at thousands of files, hours at the 10^9 files a
+        100 TB table carries; here each manifest fragment is one input
+        row, the stat predicate runs JVM-side in parallel, and the driver
+        only ever materializes the SURVIVING entries (bounded by the
+        files the query will actually open, which any scan pays anyway).
+        Returns entry dicts with path/rows/bytes.
+
+        Partition-transform pruning is applied driver-side to the
+        survivors (cheap: the stat filter has already done the heavy
+        cut); a file with no stats for a filtered column is kept — never
+        prune on ignorance."""
+        snap = self._snapshot(version)
+        names = snap["manifests"]
+        if not names:
+            return []
+        df = (
+            spark.read.json(
+                [os.path.join(self.manifest_dir, m) for m in names]
+            )
+            .select(F.explode("entries").alias("e"))
+            .select("e.*")
+        )
+        if filters:
+            stats_fields = set()
+            if "stats" in df.columns and isinstance(
+                df.schema["stats"].dataType, T.StructType
+            ):
+                stats_fields = {
+                    f.name for f in df.schema["stats"].dataType.fields
+                }
+            for col, op, val in filters:
+                if col not in stats_fields:
+                    continue  # no stats anywhere -> conjunct can't prune
+                s = F.col("stats").getField(col)
+                lo, hi, nulls = (
+                    s.getField("min"),
+                    s.getField("max"),
+                    s.getField("nulls"),
+                )
+                if op == "=":
+                    base = (lo <= F.lit(val)) & (hi >= F.lit(val))
+                elif op == "<":
+                    base = lo < F.lit(val)
+                elif op == "<=":
+                    base = lo <= F.lit(val)
+                elif op == ">":
+                    base = hi > F.lit(val)
+                elif op == ">=":
+                    base = hi >= F.lit(val)
+                elif op == "in":
+                    base = F.lit(False)
+                    for v in val:
+                        base = base | (
+                            (lo <= F.lit(v)) & (hi >= F.lit(v))
+                        )
+                elif op == "between":
+                    base = (hi >= F.lit(val[0])) & (lo <= F.lit(val[1]))
+                else:
+                    continue
+                keep = (
+                    F.when(nulls == F.col("rows"), F.lit(False))
+                    .when(lo.isNull() | hi.isNull(), F.lit(True))
+                    .otherwise(base)
+                )
+                df = df.where(F.coalesce(keep, F.lit(True)))
+        cols = [c for c in ("path", "rows", "bytes", "seq", "partition")
+                if c in df.columns]
+        out = [r.asDict(recursive=True) for r in df.select(*cols).collect()]
+        if filters:
+            spec = snap.get("partition_spec") or []
+            if spec:
+                out = [
+                    e
+                    for e in out
+                    if e.get("partition") is None
+                    or _partition_may_match(
+                        {"partition": e["partition"]}, filters, spec
+                    )
+                ]
+        return out
+
     def scan_file_count(
         self, filters: list[tuple] | None = None, version: int | None = None
     ) -> int:

@@ -1,0 +1,102 @@
+"""Distributed manifest planning (dff/tablefmt.py::plan_files_distributed):
+the Catalyst-evaluated stat predicate must make the IDENTICAL keep-or-
+prune decision as the driver loop (_may_match + _partition_may_match) on
+every filter operator, including the awkward corners — all-NULL columns,
+files with no stats, string bounds, partitioned tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dff.tablefmt import Table
+
+
+@pytest.fixture(scope="module")
+def tbl(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("distplan") / "t")
+    df = (
+        spark.range(0, 2000)
+        .withColumn("v", F.pmod(F.xxhash64("id"), F.lit(1000)).cast("long"))
+        .withColumn("s", F.concat(F.lit("k"), F.lpad(F.col("id") % 50, 4, "0")))
+    )
+    t = Table.create(root, df.schema)
+    # range-clustered commits -> tight, prunable id bounds per file
+    for r in range(4):
+        t.append(
+            df.where((F.col("id") >= 500 * r) & (F.col("id") < 500 * (r + 1))),
+            n_files=2,
+        )
+    # a file whose v column is ALL NULL (prunes for any v predicate)
+    t.append(
+        df.where(F.col("id") < 10).withColumn("v", F.lit(None).cast("long")),
+        n_files=1,
+    )
+    return t
+
+
+FILTER_CASES = [
+    [("id", "=", 750)],
+    [("id", "<", 100)],
+    [("id", "<=", 499)],
+    [("id", ">", 1900)],
+    [("id", ">=", 1500)],
+    [("id", "between", (600, 800))],
+    [("id", "in", (5, 1205, 1999))],
+    [("v", ">=", 0)],                      # prunes the all-NULL-v file
+    [("s", "between", ("k0010", "k0020"))],  # string bounds
+    [("id", ">=", 400), ("id", "<", 600)],   # conjunction across files
+    [("nosuchcol", "=", 1), ("id", "<", 50)],  # missing stats -> keep
+    None,
+]
+
+
+@pytest.mark.parametrize("filters", FILTER_CASES)
+def test_parity_with_driver_loop(spark, tbl, filters):
+    from dff.tablefmt import _may_match
+
+    driver = {
+        e["path"]
+        for e in tbl.entries()
+        if not filters or _may_match(e, filters)
+    }
+    dist = {e["path"] for e in tbl.plan_files_distributed(spark, filters)}
+    assert dist == driver
+
+
+def test_parity_on_partitioned_table(spark, tmp_path):
+    df = spark.range(0, 1000).withColumn(
+        "k", (F.col("id") % 10).cast("long")
+    )
+    t = Table.create(
+        str(tmp_path / "pt"), df.schema, partition_spec=[("k", "bucket", 4)]
+    )
+    t.append(df)
+    from dff.tablefmt import _may_match, _partition_may_match
+
+    spec = t.partition_spec()
+    for filters in ([("k", "=", 3)], [("k", "in", (1, 7))], None):
+        driver = {
+            e["path"]
+            for e in t.entries()
+            if not filters
+            or (
+                _may_match(e, filters)
+                and (not spec or _partition_may_match(e, filters, spec))
+            )
+        }
+        dist = {e["path"] for e in t.plan_files_distributed(spark, filters)}
+        assert dist == driver, filters
+
+
+def test_distributed_plan_rows_match_scan(spark, tbl):
+    filters = [("id", "between", (600, 800))]
+    planned = tbl.plan_files_distributed(spark, filters)
+    assert 0 < len(planned) < len(tbl.entries())
+    got = (
+        spark.read.schema(tbl.schema())
+        .parquet(*[f"{tbl.root}/{e['path']}" for e in planned])
+        .where(F.col("id").between(600, 800))
+        .count()
+    )
+    assert got == tbl.scan(spark, filters=filters).count() == 201
