@@ -2467,6 +2467,70 @@ def q_table_mor_merge(spark, sf_dir):
     return t.scan(spark).select("doc_id", "lang", "n_chars")
 
 
+def q_table_spec_evolution(spark, sf_dir):
+    """Partition spec evolution (dff/tablefmt.py:evolve_partition_spec):
+    documents ingested under bucket(doc_id, 4), the spec evolves to
+    bucket(doc_id, 8) in a METADATA-ONLY commit (in-run assert: zero
+    files rewritten), the second half lands under the new spec, and a
+    point lookup prunes each era under the spec its files were written
+    with (1/4 + 1/8, asserted).  The filtered scan must equal the plain
+    SQL replay — evolution changes layout bookkeeping, never rows."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents")
+    t = Table.create(
+        tempfile.mkdtemp(prefix="dff-tbl-") + "/docs",
+        d.schema,
+        partition_spec=[("doc_id", "bucket", 4)],
+    )
+    t.append(d.where(F.col("doc_id") % 2 == 0))
+    files_before = {e["path"] for e in t.entries()}
+    t.evolve_partition_spec([("doc_id", "bucket", 8)])
+    assert {e["path"] for e in t.entries()} == files_before  # metadata-only
+    t.append(d.where(F.col("doc_id") % 2 == 1))
+    era0 = [e for e in t.entries() if e.get("spec_id", 0) == 0]
+    era1 = [e for e in t.entries() if e.get("spec_id", 0) == 1]
+    n = t.scan_file_count(filters=[("doc_id", "=", 77)])
+    assert n <= -(-len(era0) // 4) + -(-len(era1) // 8) < len(t.entries())
+    return t.scan(spark, filters=[("doc_id", "<", 500)]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_table_distributed_plan(spark, sf_dir):
+    """Distributed manifest planning (dff/tablefmt.py:
+    plan_files_distributed): events ingested as 8 event_id-range-
+    clustered commits; the file-pruning decision for a range predicate
+    runs as a Catalyst job over the manifest JSONs (the driver loop is
+    O(files) — hours at 10^9 files), and reading EXACTLY the surviving
+    files plus the row filter must equal the oracle.  In-run asserts:
+    the plan prunes (< all files) and matches the driver loop's file set
+    bit-for-bit."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    e = _t(spark, sf_dir, "events")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/ev", e.schema)
+    t.append(
+        e.repartitionByRange(8, "event_id").sortWithinPartitions("event_id")
+    )
+    filters = [("event_id", "between", (2500, 4499))]
+    planned = t.plan_files_distributed(spark, filters)
+    # parity with the driver loop, and the plan must actually prune
+    assert len(planned) == t.scan_file_count(filters) < len(t.entries())
+    import os
+
+    df = (
+        spark.read.schema(t.schema())
+        .parquet(*[os.path.join(t.root, x["path"]) for x in planned])
+        .where(F.col("event_id").between(2500, 4499))
+    )
+    return df.select("event_id", "event_type", "value")
+
+
 def q_stats_prune_validation(spark, sf_dir):
     """Stats-only validation fast path (dff/statsvalidate.py): documents
     ingested as 8 doc_id-range-clustered files; three constraints —
@@ -2589,6 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_optimize_cluster": q_table_optimize_cluster,
         "table_mor_delete": q_table_mor_delete,
         "table_mor_merge": q_table_mor_merge,
+        "table_distributed_plan": q_table_distributed_plan,
+        "table_spec_evolution": q_table_spec_evolution,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3235,6 +3301,15 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 're' AS lang, n_chars FROM documents
             WHERE doc_id % 21 = 3
+        """,
+        # spec evolution: layout bookkeeping changes, rows never do
+        "table_spec_evolution": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500
+        """,
+        # distributed planning: pruned-file read + row filter == full replay
+        "table_distributed_plan": """
+            SELECT event_id, event_type, "value" FROM events
+            WHERE event_id BETWEEN 2500 AND 4499
         """,
         # MOR merge: row-level semantics identical to the COW merge gate
         "table_mor_merge": """

@@ -135,6 +135,22 @@ def _may_match(entry: dict, filters: list[tuple]) -> bool:
     return True
 
 
+_SAFE_WIDENINGS = {
+    # every pair preserves values EXACTLY (no int->float32 / long->double:
+    # those lose precision past 2^24 / 2^53)
+    ("byte", "short"), ("byte", "int"), ("byte", "bigint"),
+    ("short", "int"), ("short", "bigint"),
+    ("int", "bigint"),
+    ("byte", "float"), ("short", "float"),
+    ("byte", "double"), ("short", "double"), ("int", "double"),
+    ("float", "double"),
+}
+
+
+def _safe_widening(src, dst) -> bool:
+    return (src.simpleString(), dst.simpleString()) in _SAFE_WIDENINGS
+
+
 def _footer_stats(path: str) -> tuple[int, int, dict]:
     """(rows, bytes, {col: {min, max, nulls}}) from the parquet footer —
     an O(footer) metadata read, the same stats a table-format manifest
@@ -413,7 +429,10 @@ class Table:
             "manifests": [],
         }
         if partition_spec:
-            snap["partition_spec"] = _normalize_spec(partition_spec, schema)
+            spec = _normalize_spec(partition_spec, schema)
+            snap["partition_spec"] = spec
+            snap["partition_specs"] = [spec]
+            snap["default_spec_id"] = 0
         t._commit(snap, expected_parent=None)
         return t
 
@@ -546,6 +565,11 @@ class Table:
             parent = self._snapshot(expected_parent)
             if "partition_spec" not in snap and parent.get("partition_spec"):
                 snap["partition_spec"] = parent["partition_spec"]
+            if "partition_specs" not in snap and parent.get(
+                "partition_specs"
+            ):
+                snap["partition_specs"] = parent["partition_specs"]
+                snap["default_spec_id"] = parent.get("default_spec_id", 0)
             if "seq" not in snap:
                 snap["seq"] = self._seq_of(parent) + 1
             if "delete_manifests" not in snap:
@@ -575,6 +599,57 @@ class Table:
     def partition_spec(self, version: int | None = None) -> list[dict]:
         return self._snapshot(version).get("partition_spec") or []
 
+    def partition_specs(self, version: int | None = None) -> list[list]:
+        """Every spec this table has ever written under, index = spec_id.
+        Entries record the spec_id they were written with, so evolution
+        never reinterprets (or rewrites) a single old file."""
+        snap = self._snapshot(version)
+        if "partition_specs" in snap:
+            return snap["partition_specs"]
+        return [snap["partition_spec"]] if snap.get("partition_spec") else []
+
+    def evolve_partition_spec(
+        self, partition_spec: list | None
+    ) -> int:
+        """Change how FUTURE writes partition — a metadata-only commit
+        (Iceberg partition evolution).  Existing files are untouched and
+        keep pruning under the spec they were written with; new files
+        cluster and prune under the new one.  Repartitioning a 100 TB
+        table is one kilobyte commit, not a rewrite.  ``None`` stops
+        partitioning future writes."""
+        snap = self._snapshot()
+        specs = list(self.partition_specs(snap["version"]))
+        if partition_spec:
+            spec = _normalize_spec(
+                partition_spec, T.StructType.fromJson(snap["schema"])
+            )
+            specs.append(spec)
+        else:
+            spec = []
+            specs.append([])
+        return self._commit(
+            {
+                "operation": "set-partition-spec",
+                "schema": snap["schema"],
+                "manifests": list(snap["manifests"]),
+                "partition_spec": spec,
+                "partition_specs": specs,
+                "default_spec_id": len(specs) - 1,
+                "summary": {"spec": spec},
+            },
+            expected_parent=snap["version"],
+        )
+
+    def _entry_partition_ok(
+        self, e: dict, filters: list[tuple], specs: list[list]
+    ) -> bool:
+        """Partition pruning under the spec the ENTRY was written with."""
+        if not specs:
+            return True
+        sid = e.get("spec_id", 0)
+        spec = specs[sid] if 0 <= sid < len(specs) else []
+        return not spec or _partition_may_match(e, filters, spec)
+
     def _materialize(
         self,
         df: DataFrame,
@@ -597,6 +672,7 @@ class Table:
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         entries = []
         if spec:
+            sid = self._snapshot().get("default_spec_id", 0)
             pts = [f"__pt_{i}" for i in range(len(spec))]
             out = df
             for name, s in zip(pts, spec):
@@ -633,6 +709,8 @@ class Table:
                         os.path.join(stage, rel, name), partition=part
                     )
                 )
+            for e in entries:
+                e["spec_id"] = sid
         else:
             out = df if n_files is None else df.repartition(n_files)
             writer = out.write.mode("overwrite")
@@ -680,11 +758,26 @@ class Table:
                 "(pass evolve=True to add them)"
             )
         fields = list(schema.fields) + new_cols
-        cols = [
-            F.col(f.name) if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in fields
-        ]
+        src_types = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                continue
+            st = src_types[f.name]
+            if st == f.dataType:
+                cols.append(F.col(f.name))
+            elif _safe_widening(st, f.dataType):
+                # exact-value promotion (Iceberg's type-promotion set,
+                # extended to exact integer->float cases): cast at write
+                # so every data file carries the table's physical type
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                raise ValueError(
+                    f"column {f.name!r}: source type {st.simpleString()} "
+                    f"does not safely widen to table type "
+                    f"{f.dataType.simpleString()}; cast explicitly"
+                )
         return df.select(*cols), json.loads(T.StructType(fields).json())
 
     def committed_version_for(self, idempotency_key: str) -> int | None:
@@ -801,12 +894,12 @@ class Table:
         schema = T.StructType.fromJson(snap["schema"])
         entries = self.entries(snap["version"])
         if filters:
-            spec = snap.get("partition_spec") or []
+            specs = self.partition_specs(snap["version"])
             entries = [
                 e
                 for e in entries
                 if _may_match(e, filters)
-                and (not spec or _partition_may_match(e, filters, spec))
+                and self._entry_partition_ok(e, filters, specs)
             ]
         return self._read_with_deletes(
             spark,
@@ -972,18 +1065,23 @@ class Table:
                     .otherwise(base)
                 )
                 df = df.where(F.coalesce(keep, F.lit(True)))
-        cols = [c for c in ("path", "rows", "bytes", "seq", "partition")
-                if c in df.columns]
+        cols = [
+            c
+            for c in ("path", "rows", "bytes", "seq", "partition", "spec_id")
+            if c in df.columns
+        ]
         out = [r.asDict(recursive=True) for r in df.select(*cols).collect()]
         if filters:
-            spec = snap.get("partition_spec") or []
-            if spec:
+            specs = self.partition_specs(snap["version"])
+            if specs:
                 out = [
                     e
                     for e in out
                     if e.get("partition") is None
-                    or _partition_may_match(
-                        {"partition": e["partition"]}, filters, spec
+                    or self._entry_partition_ok(
+                        {k: v for k, v in e.items() if v is not None},
+                        filters,
+                        specs,
                     )
                 ]
         return out
@@ -994,12 +1092,12 @@ class Table:
         """How many files a scan would open — the pruning measurement."""
         entries = self.entries(version)
         if filters:
-            spec = self.partition_spec(version)
+            specs = self.partition_specs(version)
             entries = [
                 e
                 for e in entries
                 if _may_match(e, filters)
-                and (not spec or _partition_may_match(e, filters, spec))
+                and self._entry_partition_ok(e, filters, specs)
             ]
         return len(entries)
 
@@ -1008,11 +1106,11 @@ class Table:
         self, filters: list[tuple], version: int
     ) -> tuple[list[dict], list[dict]]:
         entries = self.entries(version)
-        spec = self.partition_spec(version)
+        specs = self.partition_specs(version)
 
         def may(e: dict) -> bool:
-            return _may_match(e, filters) and (
-                not spec or _partition_may_match(e, filters, spec)
+            return _may_match(e, filters) and self._entry_partition_ok(
+                e, filters, specs
             )
 
         hit = [e for e in entries if may(e)]
@@ -1577,6 +1675,9 @@ class Table:
         }
         if snap.get("partition_spec"):
             base["partition_spec"] = snap["partition_spec"]
+        if snap.get("partition_specs"):
+            base["partition_specs"] = snap["partition_specs"]
+            base["default_spec_id"] = snap.get("default_spec_id", 0)
         br._commit(base, expected_parent=None)
         return br
 
