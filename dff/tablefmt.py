@@ -990,6 +990,47 @@ class Table:
             spark, entries, schema, self.delete_entries(snap["version"])
         )
 
+    def files_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The ``.files`` metadata table (Iceberg parity): one row per
+        live data file with path/rows/bytes/seq/spec_id — built from the
+        manifest JSONs by Spark, so inspecting a 10^9-file table is a
+        distributed job, not a driver loop.  Stats and partition tuples
+        stay queryable as nested columns when present."""
+        snap = self._snapshot(version)
+        if not snap["manifests"]:
+            return spark.createDataFrame(
+                [], "path string, rows long, bytes long"
+            )
+        return (
+            spark.read.json(
+                [
+                    os.path.join(self.manifest_dir, m)
+                    for m in snap["manifests"]
+                ]
+            )
+            .select(F.explode("entries").alias("e"))
+            .select("e.*")
+        )
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The ``.snapshots`` metadata table: version/operation/commit
+        time/summary for every retained snapshot.  Driver-side O(retained
+        snapshots) — retention (``expire_snapshots``) bounds it."""
+        rows = [
+            (
+                h["version"],
+                h["operation"],
+                float(h["ts"]),
+                json.dumps(h.get("summary", {}), sort_keys=True),
+            )
+            for h in self.history()
+        ]
+        return spark.createDataFrame(
+            rows, "version long, operation string, ts double, summary string"
+        )
+
     def plan_files_distributed(
         self,
         spark: SparkSession,

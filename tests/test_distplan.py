@@ -100,3 +100,21 @@ def test_distributed_plan_rows_match_scan(spark, tbl):
         .count()
     )
     assert got == tbl.scan(spark, filters=filters).count() == 201
+
+
+def test_files_df_matches_entries(spark, tbl):
+    rows = tbl.files_df(spark).select("path", "rows", "bytes").collect()
+    assert {(r.path, r.rows, r.bytes) for r in rows} == {
+        (e["path"], e["rows"], e["bytes"]) for e in tbl.entries()
+    }
+    # nested stats stay queryable: total rows via SQL over the metadata
+    total = tbl.files_df(spark).agg(F.sum("rows")).first()[0]
+    assert total == tbl.scan(spark).count()
+
+
+def test_snapshots_df_reflects_history(spark, tbl):
+    snaps = tbl.snapshots_df(spark).orderBy("version").collect()
+    assert [s.operation for s in snaps] == [
+        h["operation"] for h in tbl.history()
+    ]
+    assert snaps[0].operation == "create"
