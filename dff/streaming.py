@@ -356,6 +356,8 @@ def stream_to_table(
     checkpoint_dir: str,
     available_now: bool = True,
     n_files: int | None = None,
+    mode: str = "append",
+    key_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming sink into the native table format
     (:class:`dff.tablefmt.Table`): every micro-batch lands as ONE atomic
@@ -371,8 +373,21 @@ def stream_to_table(
     The table is created from the first batch's schema if absent; later
     batches append under the committed schema (mismatched columns raise,
     as in batch appends).
+
+    ``mode="upsert"`` (requires ``key_cols``) is the streaming CDC-apply
+    path: each micro-batch lands as a merge-on-read MERGE — a tombstone
+    file on the batch keys plus the batch rows, the TARGET never read —
+    under the same idempotency key, so updates are exactly-once too.  A
+    batch must carry at most one row per key (pre-aggregate a raw change
+    stream to last-change-per-key upstream; redundant deliveries of the
+    whole batch are the part this sink de-duplicates).
     """
     from .tablefmt import CommitConflict, Table
+
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
+    if mode == "upsert" and not key_cols:
+        raise ValueError("mode='upsert' requires key_cols")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not Table.exists(table_root):
@@ -380,11 +395,19 @@ def stream_to_table(
                 Table.create(table_root, batch_df.schema)
             except (CommitConflict, FileExistsError):
                 pass  # another delivery created it first
-        Table(table_root).append(
-            batch_df,
-            n_files=n_files,
-            idempotency_key=f"stream-batch-{batch_id}",
-        )
+        key = f"stream-batch-{batch_id}"
+        if mode == "upsert":
+            Table(table_root).merge_upsert(
+                batch_df.sparkSession,
+                batch_df,
+                list(key_cols),
+                mode="mor",
+                idempotency_key=key,
+            )
+        else:
+            Table(table_root).append(
+                batch_df, n_files=n_files, idempotency_key=key
+            )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1216,6 +1216,7 @@ class Table:
         evolve: bool = False,
         check_unique_keys: bool = True,
         mode: str = "cow",
+        idempotency_key: str | None = None,
     ) -> int:
         """``MERGE INTO target USING source ON keys WHEN MATCHED THEN
         UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the Delta-style
@@ -1253,9 +1254,18 @@ class Table:
             raise ValueError("key_cols must be non-empty")
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        if idempotency_key is not None:
+            v = self.committed_version_for(idempotency_key)
+            if v is not None:
+                return v  # this delivery already merged: no-op replay
         if mode == "mor":
             return self._merge_upsert_mor(
-                spark, source, key_cols, evolve, check_unique_keys
+                spark,
+                source,
+                key_cols,
+                evolve,
+                check_unique_keys,
+                idempotency_key=idempotency_key,
             )
         snap = self._snapshot()
         aligned_src, schema_json = self._aligned(source, evolve)
@@ -1343,6 +1353,7 @@ class Table:
         evolve: bool,
         check_unique_keys: bool,
         max_retries: int = 5,
+        idempotency_key: str | None = None,
     ) -> int:
         aligned_src, schema_json = self._aligned(source, evolve)
         if check_unique_keys:
@@ -1397,6 +1408,13 @@ class Table:
             delete_manifests = list(snap.get("delete_manifests", []))
             if dm:
                 delete_manifests.append(dm)
+            summary = {
+                "added_files": len(data_entries),
+                "delete_files": len(del_entries),
+                "cols": list(key_cols),
+            }
+            if idempotency_key is not None:
+                summary["idempotency_key"] = idempotency_key
             try:
                 return self._commit(
                     {
@@ -1405,15 +1423,15 @@ class Table:
                         "manifests": manifests,
                         "seq": seq,
                         "delete_manifests": delete_manifests,
-                        "summary": {
-                            "added_files": len(data_entries),
-                            "delete_files": len(del_entries),
-                            "cols": list(key_cols),
-                        },
+                        "summary": summary,
                     },
                     expected_parent=snap["version"],
                 )
             except CommitConflict:
+                if idempotency_key is not None:
+                    v = self.committed_version_for(idempotency_key)
+                    if v is not None:
+                        return v  # the race WAS this key's other delivery
                 continue
         raise CommitConflict(
             f"merge-mor lost {max_retries} commit races"

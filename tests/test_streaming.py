@@ -342,3 +342,50 @@ def test_stream_to_table_exactly_once(spark, tmp_path):
     t.append(batch0, idempotency_key="stream-batch-0")
     assert t._latest_version() == v_before
     assert t.scan(spark).count() == n_src
+
+
+def test_stream_to_table_upsert_exactly_once(spark, tmp_path):
+    """Streaming CDC apply: mode='upsert' lands each micro-batch as a
+    merge-on-read MERGE under an idempotency key — later batches replace
+    earlier rows per key, redeliveries no-op, and the target is never
+    read (its pre-merge files survive untouched)."""
+    from pyspark.sql import functions as F
+
+    from dff.streaming import stream_to_table
+    from dff.tablefmt import Table
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.lit("v0").alias("val"),
+    )
+    base.write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "tbl")
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = stream_to_table(
+        stream, root, str(tmp_path / "ckpt"), mode="upsert", key_cols=["k"]
+    )
+    q.awaitTermination(120)
+    t = Table(root)
+    assert t.scan(spark).count() == 500
+    files_before = {e["path"] for e in t.entries()}
+
+    # second batch: 100 updates + 50 inserts, delivered as a new file
+    upd = spark.range(400, 550).select(
+        F.col("id").alias("k"), F.lit("v1").alias("val")
+    )
+    upd.write.mode("append").parquet(src)
+    q = stream_to_table(
+        stream, root, str(tmp_path / "ckpt"), mode="upsert", key_cols=["k"]
+    )
+    q.awaitTermination(120)
+    df = t.scan(spark)
+    assert df.count() == 550
+    assert df.where(F.col("val") == "v1").count() == 150  # last writer won
+    assert files_before <= {e["path"] for e in t.entries()}  # MOR: no rewrite
+
+    # crash-window replay of the second batch id: no-op
+    v = t._latest_version()
+    t.merge_upsert(spark, upd, ["k"], mode="mor",
+                   idempotency_key="stream-batch-1")
+    assert t._latest_version() == v and t.scan(spark).count() == 550
