@@ -2531,6 +2531,37 @@ def q_table_distributed_plan(spark, sf_dir):
     return df.select("event_id", "event_type", "value")
 
 
+def q_table_bloom_lookup(spark, sf_dir):
+    """Per-file Bloom skipping (dff/tablefmt.py bloom_cols): documents
+    gain a hash-scattered uid column — every file's [min,max] spans any
+    probe, so stats prune NOTHING — yet a point lookup opens <=2 of 4
+    files via the manifest blooms (asserted in-run).  The returned rows
+    must equal the plain doc_id replay (uid = xxhash64(doc_id) is
+    deterministic and collision-free at this scale)."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "uid", F.xxhash64("doc_id")
+    )
+    t = Table.create(
+        tempfile.mkdtemp(prefix="dff-tbl-") + "/docs",
+        d.schema,
+        bloom_cols=["uid"],
+    )
+    for r in range(4):
+        t.append(d.where(F.col("doc_id") % 4 == r), n_files=1)
+    probes = tuple(
+        r.uid
+        for r in d.where(F.col("doc_id").isin(123, 124, 125)).collect()
+    )
+    assert t.scan_file_count(filters=[("uid", "in", probes)]) < 4  # bloom cut
+    return t.scan(spark, filters=[("uid", "in", probes)]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_stats_prune_validation(spark, sf_dir):
     """Stats-only validation fast path (dff/statsvalidate.py): documents
     ingested as 8 doc_id-range-clustered files; three constraints —
@@ -2655,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_mor_merge": q_table_mor_merge,
         "table_distributed_plan": q_table_distributed_plan,
         "table_spec_evolution": q_table_spec_evolution,
+        "table_bloom_lookup": q_table_bloom_lookup,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3301,6 +3333,11 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 're' AS lang, n_chars FROM documents
             WHERE doc_id % 21 = 3
+        """,
+        # bloom skipping: pruned point lookup == plain key replay
+        "table_bloom_lookup": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (123, 124, 125)
         """,
         # spec evolution: layout bookkeeping changes, rows never do
         "table_spec_evolution": """

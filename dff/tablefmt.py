@@ -135,6 +135,66 @@ def _may_match(entry: dict, filters: list[tuple]) -> bool:
     return True
 
 
+def _bloom_build(values, rows: int) -> dict:
+    """Per-file Bloom filter over a column's values: ~10 bits/row, k=7
+    (FPR ~1%), capped at 256 Kibit (32 KiB -> ~43 KB base64 in the
+    manifest) — big files trade a little FPR for bounded metadata.  Only
+    the DRIVER ever probes these (prune-or-keep), so the hash needs no
+    Spark twin."""
+    import base64
+    import hashlib
+
+    m = (min(max(1024, rows * 10), 1 << 18) + 7) & ~7  # whole bytes
+    buf = bytearray(m // 8)
+    for v in values:
+        if v is None:
+            continue
+        h = hashlib.blake2b(repr(v).encode(), digest_size=16).digest()
+        h1 = int.from_bytes(h[:8], "little")
+        h2 = int.from_bytes(h[8:], "little") | 1
+        for i in range(7):
+            p = (h1 + i * h2) % m
+            buf[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": m,
+        "k": 7,
+        "b64": base64.b64encode(bytes(buf)).decode(),
+    }
+
+
+def _bloom_may_contain(bloom: dict, v) -> bool:
+    import base64
+    import hashlib
+
+    if v is None:
+        return True  # equality with NULL never matches; stats handle it
+    buf = base64.b64decode(bloom["b64"])
+    m = bloom["m"]
+    h = hashlib.blake2b(repr(v).encode(), digest_size=16).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") | 1
+    for i in range(bloom["k"]):
+        p = (h1 + i * h2) % m
+        if not (buf[p >> 3] & (1 << (p & 7))):
+            return False
+    return True
+
+
+def _bloom_may_match(entry: dict, filters: list[tuple]) -> bool:
+    """False only when a bloom PROVES no row carries the probed value(s).
+    Range operators can't probe a bloom; missing blooms keep the file."""
+    blooms = entry.get("blooms") or {}
+    for col, op, val in filters:
+        b = blooms.get(col)
+        if b is None:
+            continue
+        if op == "=" and not _bloom_may_contain(b, val):
+            return False
+        if op == "in" and not any(_bloom_may_contain(b, v) for v in val):
+            return False
+    return True
+
+
 _SAFE_WIDENINGS = {
     # every pair preserves values EXACTLY (no int->float32 / long->double:
     # those lose precision past 2^24 / 2^53)
@@ -415,11 +475,19 @@ class Table:
         root: str,
         schema: T.StructType,
         partition_spec: list | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "Table":
         """``partition_spec`` — list of ``(col, transform[, param])``:
         ``identity`` / ``bucket(n)`` / ``truncate(w)`` / ``day`` /
         ``month`` / ``hour``.  Hidden partitioning: writes cluster on the
-        transformed values; scans on the SOURCE column prune whole files."""
+        transformed values; scans on the SOURCE column prune whole files.
+
+        ``bloom_cols``: per-file Bloom filters in the manifest for these
+        columns — the skipping device min/max stats CANNOT provide for a
+        point lookup on a high-cardinality UNCLUSTERED column (every
+        file's range spans the probe, but only ~one file's bloom says
+        maybe).  Costs one column re-read per file at write time and
+        ~KBs of manifest per file; ``=`` and ``in`` scans prune on it."""
         t = cls(root)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -428,6 +496,14 @@ class Table:
             "schema": json.loads(schema.json()),
             "manifests": [],
         }
+        if bloom_cols:
+            missing = [
+                c for c in bloom_cols
+                if c not in {f.name for f in schema.fields}
+            ]
+            if missing:
+                raise ValueError(f"bloom_cols not in schema: {missing}")
+            snap["bloom_cols"] = list(bloom_cols)
         if partition_spec:
             spec = _normalize_spec(partition_spec, schema)
             snap["partition_spec"] = spec
@@ -570,6 +646,8 @@ class Table:
             ):
                 snap["partition_specs"] = parent["partition_specs"]
                 snap["default_spec_id"] = parent.get("default_spec_id", 0)
+            if "bloom_cols" not in snap and parent.get("bloom_cols"):
+                snap["bloom_cols"] = parent["bloom_cols"]
             if "seq" not in snap:
                 snap["seq"] = self._seq_of(parent) + 1
             if "delete_manifests" not in snap:
@@ -664,9 +742,13 @@ class Table:
         writer on the TRANSFORMED values (one distributed pass — the
         shuffle clusters each partition into one task), and every entry
         records its typed partition tuple for driver-side pruning."""
-        spec = (
-            self.partition_spec()
-            if partitioned and self.exists(self.root)
+        # partitioned=False marks auxiliary files (equality-delete
+        # tombstones): no partition fanout, no bloom computation
+        exists = self.exists(self.root)
+        spec = self.partition_spec() if partitioned and exists else []
+        bloom_cols = (
+            (self._snapshot().get("bloom_cols") or [])
+            if partitioned and exists
             else []
         )
         stage = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
@@ -706,7 +788,9 @@ class Table:
                     part[str(i)] = _parse_pv(raw, spec[i])
                 entries.extend(
                     self._move_into_data(
-                        os.path.join(stage, rel, name), partition=part
+                        os.path.join(stage, rel, name),
+                        partition=part,
+                        bloom_cols=bloom_cols,
                     )
                 )
             for e in entries:
@@ -721,13 +805,18 @@ class Table:
                 if not name.endswith(".parquet") or name.startswith((".", "_")):
                     continue
                 entries.extend(
-                    self._move_into_data(os.path.join(stage, name))
+                    self._move_into_data(
+                        os.path.join(stage, name), bloom_cols=bloom_cols
+                    )
                 )
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
     def _move_into_data(
-        self, src: str, partition: dict | None = None
+        self,
+        src: str,
+        partition: dict | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> list[dict]:
         final = f"{uuid.uuid4().hex}.parquet"
         os.rename(src, os.path.join(self.data_dir, final))
@@ -743,6 +832,21 @@ class Table:
         }
         if partition:
             entry["partition"] = partition
+        if bloom_cols:
+            import pyarrow.parquet as pq
+
+            fpath = os.path.join(self.data_dir, final)
+            present = [
+                c
+                for c in bloom_cols
+                if c in pq.ParquetFile(fpath).schema_arrow.names
+            ]
+            if present:
+                cols = pq.read_table(fpath, columns=present)
+                entry["blooms"] = {
+                    c: _bloom_build(cols.column(c).to_pylist(), rows)
+                    for c in present
+                }
         return [entry]
 
     def _aligned(self, df: DataFrame, evolve: bool) -> tuple[DataFrame, dict]:
@@ -899,6 +1003,7 @@ class Table:
                 e
                 for e in entries
                 if _may_match(e, filters)
+                and _bloom_may_match(e, filters)
                 and self._entry_partition_ok(e, filters, specs)
             ]
         return self._read_with_deletes(
@@ -1108,7 +1213,10 @@ class Table:
                 df = df.where(F.coalesce(keep, F.lit(True)))
         cols = [
             c
-            for c in ("path", "rows", "bytes", "seq", "partition", "spec_id")
+            for c in (
+                "path", "rows", "bytes", "seq", "partition", "spec_id",
+                "blooms",
+            )
             if c in df.columns
         ]
         out = [r.asDict(recursive=True) for r in df.select(*cols).collect()]
@@ -1125,6 +1233,19 @@ class Table:
                         specs,
                     )
                 ]
+            # blooms probe driver-side over the already-thinned survivors
+            # (bounded), keeping bit-parity with the driver loop
+            out = [
+                e
+                for e in out
+                if _bloom_may_match(
+                    {"blooms": {
+                        c: b for c, b in (e.get("blooms") or {}).items()
+                        if b is not None
+                    }},
+                    filters,
+                )
+            ]
         return out
 
     def scan_file_count(
@@ -1138,6 +1259,7 @@ class Table:
                 e
                 for e in entries
                 if _may_match(e, filters)
+                and _bloom_may_match(e, filters)
                 and self._entry_partition_ok(e, filters, specs)
             ]
         return len(entries)
@@ -1150,8 +1272,10 @@ class Table:
         specs = self.partition_specs(version)
 
         def may(e: dict) -> bool:
-            return _may_match(e, filters) and self._entry_partition_ok(
-                e, filters, specs
+            return (
+                _may_match(e, filters)
+                and _bloom_may_match(e, filters)
+                and self._entry_partition_ok(e, filters, specs)
             )
 
         hit = [e for e in entries if may(e)]
