@@ -1737,6 +1737,37 @@ class Table:
             expected_parent=snap["version"],
         )
 
+    def rewrite_manifests(self, target_entries: int = 100_000) -> int:
+        """Manifest compaction: every append adds one manifest fragment,
+        so after 10^5 commits the tip snapshot lists 10^5 fragment names
+        and planning opens them all.  This merges the fragments into
+        ceil(files / target_entries) manifests in ONE metadata-only
+        commit — entries are carried verbatim (stats, seq, spec_id,
+        blooms, partition tuples untouched), data files are never read.
+        Like any rewrite, it conflicts with a concurrent branch publish
+        whose fork predates it (the branch re-forks)."""
+        snap = self._snapshot()
+        if len(snap["manifests"]) <= 1:
+            return snap["version"]
+        entries = self.entries(snap["version"])
+        manifests = [
+            self._write_manifest(entries[i:i + target_entries])
+            for i in range(0, len(entries), target_entries)
+        ] if entries else []
+        return self._commit(
+            {
+                "operation": "rewrite-manifests",
+                "schema": snap["schema"],
+                "manifests": manifests,
+                "delete_manifests": snap.get("delete_manifests", []),
+                "summary": {
+                    "before": len(snap["manifests"]),
+                    "after": len(manifests),
+                },
+            },
+            expected_parent=snap["version"],
+        )
+
     def rollback(self, version: int) -> int:
         """Point the tip back at an old snapshot's file set (a NEW commit —
         history is never rewritten, so the bad snapshots stay auditable)."""

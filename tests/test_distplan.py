@@ -118,3 +118,32 @@ def test_snapshots_df_reflects_history(spark, tbl):
         h["operation"] for h in tbl.history()
     ]
     assert snaps[0].operation == "create"
+
+
+def test_rewrite_manifests_preserves_everything(spark, tmp_path):
+    from dff.tablefmt import Table
+
+    df = spark.range(0, 900).withColumn("v", F.col("id") % 7)
+    t = Table.create(str(tmp_path / "rm"), df.schema)
+    for r in range(9):  # 9 commits -> 9 manifest fragments
+        t.append(df.where(F.col("id") % 9 == r), n_files=1)
+    t.delete_matching_mor(
+        spark, spark.createDataFrame([(5,)], "id long"), ["id"]
+    )
+    before = sorted(
+        (e["path"], e["rows"], e.get("seq")) for e in t.entries()
+    )
+    n_manifests = len(t._snapshot()["manifests"])
+    assert n_manifests == 9
+    t.rewrite_manifests(target_entries=4)
+    after = sorted((e["path"], e["rows"], e.get("seq")) for e in t.entries())
+    assert after == before  # entries verbatim, order-insensitive
+    assert len(t._snapshot()["manifests"]) == 3  # ceil(9/4)
+    assert len(t.delete_entries()) == 1  # tombstones carried
+    assert t.scan(spark).count() == 899  # MOR delete still applies
+    # idempotent shape: re-running re-chunks 3 -> 3 (same target) and the
+    # entry set stays identical
+    t.rewrite_manifests(target_entries=4)
+    assert sorted(
+        (e["path"], e["rows"], e.get("seq")) for e in t.entries()
+    ) == before
