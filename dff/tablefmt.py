@@ -135,6 +135,23 @@ def _may_match(entry: dict, filters: list[tuple]) -> bool:
     return True
 
 
+def _bloom_key(v) -> bytes:
+    """Canonical hash input: integral floats collapse onto ints so a
+    probe of 7 finds a stored 7.0 (stats comparisons coerce numerics;
+    the bloom must not be stricter or it would WRONGLY prune)."""
+    if isinstance(v, bool):
+        return f"b:{v}".encode()
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    if isinstance(v, int):
+        return f"i:{v}".encode()
+    if isinstance(v, float):
+        return f"f:{v!r}".encode()
+    if isinstance(v, str):
+        return b"s:" + v.encode()
+    return repr(v).encode()
+
+
 def _bloom_build(values, rows: int) -> dict:
     """Per-file Bloom filter over a column's values: ~10 bits/row, k=7
     (FPR ~1%), capped at 256 Kibit (32 KiB -> ~43 KB base64 in the
@@ -149,7 +166,7 @@ def _bloom_build(values, rows: int) -> dict:
     for v in values:
         if v is None:
             continue
-        h = hashlib.blake2b(repr(v).encode(), digest_size=16).digest()
+        h = hashlib.blake2b(_bloom_key(v), digest_size=16).digest()
         h1 = int.from_bytes(h[:8], "little")
         h2 = int.from_bytes(h[8:], "little") | 1
         for i in range(7):
@@ -170,7 +187,7 @@ def _bloom_may_contain(bloom: dict, v) -> bool:
         return True  # equality with NULL never matches; stats handle it
     buf = base64.b64decode(bloom["b64"])
     m = bloom["m"]
-    h = hashlib.blake2b(repr(v).encode(), digest_size=16).digest()
+    h = hashlib.blake2b(_bloom_key(v), digest_size=16).digest()
     h1 = int.from_bytes(h[:8], "little")
     h2 = int.from_bytes(h[8:], "little") | 1
     for i in range(bloom["k"]):

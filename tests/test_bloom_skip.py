@@ -80,3 +80,20 @@ def test_rewrites_preserve_bloom_cols(spark, tbl):
     assert len(rewritten) == len(t.entries())
     u = _uid_of(spark, t, 12345)
     assert t.scan_file_count(filters=[("uid", "=", u)]) <= 2
+
+
+def test_bloom_numeric_coercion(spark, tmp_path):
+    """A probe of int 7 must find a stored double 7.0 — blooms may never
+    be stricter than the coercing stats comparison."""
+    from pyspark.sql import types as T
+
+    from dff.tablefmt import Table
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("x")
+    )
+    t = Table.create(str(tmp_path / "t"), df.schema, bloom_cols=["x"])
+    t.append(df, n_files=1)
+    assert t.scan_file_count(filters=[("x", "=", 7)]) == 1  # int probe
+    assert t.scan(spark, filters=[("x", "=", 7)]).count() == 1
+    assert t.scan(spark, filters=[("x", "=", 7.5)]).count() == 0
