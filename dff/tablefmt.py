@@ -886,7 +886,12 @@ class Table:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
                 continue
             st = src_types[f.name]
-            if st == f.dataType:
+            # simpleString ignores nullability flags (valueContainsNull /
+            # containsNull / nested nullable) — advisory in Spark, and a
+            # mismatch there must not be treated as a type change
+            if st == f.dataType or (
+                st.simpleString() == f.dataType.simpleString()
+            ):
                 cols.append(F.col(f.name))
             elif _safe_widening(st, f.dataType):
                 # exact-value promotion (Iceberg's type-promotion set,
