@@ -1712,7 +1712,13 @@ class Table:
         atomic snapshot commit — files at or above target are carried by
         reference.  Unlike :func:`dff.maintenance.compact_parquet_dir`
         there is no swap window at all: readers of the old snapshot keep
-        their exact file list; the new tip appears or nothing does."""
+        their exact file list; the new tip appears or nothing does.
+
+        Pending MOR tombstones are folded into whatever this call
+        rewrites (and reclaimed once no remaining file is older than
+        them); tombstones covering only carried-by-reference files stay
+        pending — raise ``target_file_bytes`` (or ``rewrite_clustered``)
+        to fold the table completely."""
         snap = self._snapshot()
         entries = self.entries(snap["version"])
         deletes = self.delete_entries(snap["version"])
