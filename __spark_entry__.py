@@ -2499,6 +2499,41 @@ def q_table_spec_evolution(spark, sf_dir):
     )
 
 
+def q_table_schema_evolution(spark, sf_dir):
+    """Field-id schema evolution (dff/tablefmt.py:rename_column /
+    append(evolve=True)): even docs ingested, ``lang`` renamed to
+    ``language`` in a METADATA-ONLY commit (in-run assert: zero files
+    rewritten), odd docs then land WITH a new ``half_chars`` column via
+    an evolve append.  Old files read the renamed column through their
+    write-time field ids and NULL for the added one; files predating the
+    add physically LACK its field id, so a filter on it prunes them
+    without opening anything (asserted).  Reference analog: the
+    reference evolves its Delta tables by full rewrite
+    (01_dff_model.py:481-485); field ids make it O(1 commit) at 100 TB."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    t.append(d.where(F.col("doc_id") % 2 == 0), n_files=2)
+    files_before = {e["path"] for e in t.entries()}
+    t.rename_column("lang", "language")
+    assert {e["path"] for e in t.entries()} == files_before  # metadata-only
+    t.append(
+        d.where(F.col("doc_id") % 2 == 1)
+        .withColumnRenamed("lang", "language")
+        .withColumn("half_chars", F.col("n_chars") / F.lit(2.0)),
+        evolve=True,
+        n_files=2,
+    )
+    # pre-add files physically lack the field id -> pruned outright
+    assert t.scan_file_count(filters=[("half_chars", ">=", 0.0)]) <= 2
+    return t.scan(spark).select(
+        "doc_id", "language", "n_chars", "half_chars"
+    )
+
+
 def q_table_distributed_plan(spark, sf_dir):
     """Distributed manifest planning (dff/tablefmt.py:
     plan_files_distributed): events ingested as 8 event_id-range-
@@ -2686,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_mor_merge": q_table_mor_merge,
         "table_distributed_plan": q_table_distributed_plan,
         "table_spec_evolution": q_table_spec_evolution,
+        "table_schema_evolution": q_table_schema_evolution,
         "table_bloom_lookup": q_table_bloom_lookup,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
@@ -3342,6 +3378,14 @@ def _oracle_sql_base() -> dict[str, str]:
         # spec evolution: layout bookkeeping changes, rows never do
         "table_spec_evolution": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500
+        """,
+        # schema evolution: rename maps old files through field ids,
+        # evolve-added column reads NULL before the add, values after
+        "table_schema_evolution": """
+            SELECT doc_id, lang AS language, n_chars,
+                   CASE WHEN doc_id % 2 = 1 THEN n_chars / 2.0 END
+                     AS half_chars
+            FROM documents
         """,
         # distributed planning: pruned-file read + row filter == full replay
         "table_distributed_plan": """

@@ -39,6 +39,15 @@ Design (the architecture Iceberg/Delta converge on, re-derived minimally):
   documented in :mod:`dff.maintenance` (ADVICE r04).
 - **Time travel & rollback** are free: old snapshots stay readable until
   ``expire_snapshots`` garbage-collects them.
+- **Field-id schema evolution.** A column's identity is a permanent
+  integer id (assigned at create/add, never reused); its name is a
+  label.  ``rename_column`` / ``drop_column`` / ``add_column`` are
+  metadata-only commits: every data file is stamped with the schema id
+  current when it was written, and reads project physical (write-time)
+  names to current names through the id — so old files survive renames,
+  pre-add files read NULL, and a dropped-then-re-added name never
+  resurrects old values.  Stats/bloom pruning translates filter names
+  per entry the same way.
 
 Scale notes: JSON manifests are the sandbox realization; at 10^6+ files
 per commit the format would shard manifests and store them columnar
@@ -226,6 +235,60 @@ _SAFE_WIDENINGS = {
 
 def _safe_widening(src, dst) -> bool:
     return (src.simpleString(), dst.simpleString()) in _SAFE_WIDENINGS
+
+
+def _name_map_for(snap: dict | None, sid) -> dict[str, str] | None:
+    """CURRENT column name -> PHYSICAL (write-time) name for data files
+    stamped with schema id ``sid``.  This is the field-id indirection
+    (Iceberg's schema-evolution core): a column's identity is its id, not
+    its name, so renames and drops are metadata-only commits and old
+    files keep reading correctly under whatever name they were written
+    with.  Returns None for identity (legacy snapshot without field-id
+    metadata, or an entry that predates stamping).  A current field whose
+    id is absent from the write-time map simply has no key in the result
+    — the file was written before the field existed (or before it was
+    re-added with a fresh id), so the column reads as NULL."""
+    if snap is None or sid is None:
+        return None
+    fields = snap.get("fields")
+    schemas = snap.get("schemas")
+    if not fields or not schemas:
+        return None
+    wmap = schemas.get(str(sid))
+    if wmap is None:
+        return None  # sid minted on another chain: never reinterpret
+    return {
+        fl["name"]: wmap[str(fl["id"])]
+        for fl in fields
+        if str(fl["id"]) in wmap
+    }
+
+
+def _phys_filters(
+    filters: list[tuple],
+    nmap: dict[str, str] | None,
+    field_names: set[str] | None = None,
+) -> list[tuple] | None:
+    """Translate current-name filters to an entry's physical stat/bloom
+    names.  Returns None when some filtered CURRENT FIELD does not
+    physically exist in the file (it was added — or dropped and re-added
+    — after the file was written): every supported op is NULL-rejecting,
+    so such a file cannot contain a matching row and may be pruned
+    outright.  A filter on a name that is not a table field at all
+    passes through untranslated — no file carries stats for it, so it
+    never prunes anything (keep on ignorance, parity with _may_match)."""
+    if nmap is None:
+        return filters
+    out = []
+    for col, op, val in filters:
+        p = nmap.get(col)
+        if p is None:
+            if field_names is not None and col not in field_names:
+                out.append((col, op, val))
+                continue
+            return None
+        out.append((p, op, val))
+    return out
 
 
 def _footer_stats(path: str) -> tuple[int, int, dict]:
@@ -508,10 +571,23 @@ class Table:
         t = cls(root)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name}
+            for i, f in enumerate(schema.fields)
+        ]
         snap = {
             "operation": "create",
             "schema": json.loads(schema.json()),
             "manifests": [],
+            # field-id metadata: ids are a column's permanent identity;
+            # names are labels.  ``schemas`` is the registry of every
+            # schema id ever current (id -> name at that point), so a
+            # data file stamped with its write-time schema id maps its
+            # physical column names forward forever.
+            "fields": fields,
+            "next_field_id": len(fields) + 1,
+            "schema_id": 0,
+            "schemas": {"0": {str(fl["id"]): fl["name"] for fl in fields}},
         }
         if bloom_cols:
             missing = [
@@ -670,6 +746,39 @@ class Table:
             if "delete_manifests" not in snap:
                 # pending MOR deletes survive unrelated commits untouched
                 snap["delete_manifests"] = parent.get("delete_manifests", [])
+            if "fields" not in snap and parent.get("fields"):
+                # derive field ids for this commit's schema from the
+                # parent: known names keep their id, new names (evolve
+                # appends/merges) mint fresh ids and register a new
+                # schema id.  Explicit schema-change commits (rename/
+                # drop/add/rollback) set these keys themselves.
+                names = [f["name"] for f in snap["schema"]["fields"]]
+                by_name = {fl["name"]: fl["id"] for fl in parent["fields"]}
+                nfi = parent.get(
+                    "next_field_id",
+                    1 + max(fl["id"] for fl in parent["fields"]),
+                )
+                fields = []
+                for n in names:
+                    if n in by_name:
+                        fields.append({"id": by_name[n], "name": n})
+                    else:
+                        fields.append({"id": nfi, "name": n})
+                        nfi += 1
+                snap["fields"] = fields
+                snap["next_field_id"] = nfi
+                schemas = dict(parent.get("schemas") or {})
+                cur_map = {str(fl["id"]): fl["name"] for fl in fields}
+                parent_sid = parent.get("schema_id", 0)
+                if cur_map == (schemas.get(str(parent_sid)) or {}):
+                    snap["schema_id"] = parent_sid
+                else:
+                    sid = (
+                        max(int(k) for k in schemas) + 1 if schemas else 0
+                    )
+                    schemas[str(sid)] = cur_map
+                    snap["schema_id"] = sid
+                snap["schemas"] = schemas
         else:
             snap.setdefault("seq", 0)
         snap["parent"] = expected_parent
@@ -689,6 +798,54 @@ class Table:
             f.write(str(version))
         os.replace(hint_tmp, os.path.join(self.meta_dir, _HINT))
         return version
+
+    def _derive_schema_meta(
+        self,
+        parent: dict,
+        schema_json: dict,
+        write_names_by_id: dict[int, str],
+    ) -> dict:
+        """Field-id bookkeeping for an evolve append: known names keep
+        their parent id, new names mint fresh ids.  Registers (deduped
+        against every already-registered map) both the commit's CURRENT
+        map (id -> post-rebase name, becomes the snapshot's schema_id)
+        and the FILE map (id -> physical write-time name, stamps this
+        commit's manifest entries).  The two differ only when a
+        concurrent rename rebased in between write and commit."""
+        names = [f["name"] for f in schema_json["fields"]]
+        by_name = {fl["name"]: fl["id"] for fl in parent["fields"]}
+        nfi = parent.get(
+            "next_field_id", 1 + max(fl["id"] for fl in parent["fields"])
+        )
+        fields = []
+        for n in names:
+            if n in by_name:
+                fields.append({"id": by_name[n], "name": n})
+            else:
+                fields.append({"id": nfi, "name": n})
+                nfi += 1
+        schemas = dict(parent.get("schemas") or {})
+
+        def register(m: dict[str, str]) -> int:
+            for k, v in schemas.items():
+                if v == m:
+                    return int(k)
+            sid = max((int(k) for k in schemas), default=-1) + 1
+            schemas[str(sid)] = m
+            return sid
+
+        cur_map = {str(fl["id"]): fl["name"] for fl in fields}
+        file_map = {
+            str(fl["id"]): write_names_by_id.get(fl["id"], fl["name"])
+            for fl in fields
+        }
+        return {
+            "fields": fields,
+            "next_field_id": nfi,
+            "schemas": schemas,
+            "schema_id": register(cur_map),
+            "file_sid": register(file_map),
+        }
 
     # ------------------------------------------------------------- write
     def partition_spec(self, version: int | None = None) -> list[dict]:
@@ -734,6 +891,211 @@ class Table:
             },
             expected_parent=snap["version"],
         )
+
+    # ------------------------------------------------- schema evolution
+    def _require_field_ids(self, snap: dict) -> list[dict]:
+        fields = snap.get("fields")
+        if not fields:
+            raise ValueError(
+                "table predates field-id metadata; rename/drop/add need a "
+                "table created by this version of the format"
+            )
+        return fields
+
+    def rename_column(self, old: str, new: str, max_retries: int = 5) -> int:
+        """Rename a column WITHOUT rewriting a single data file — a
+        metadata-only commit (Iceberg schema evolution, field-id based).
+        Old files keep their physical name and map forward through the
+        field id; manifests, stats and blooms are untouched because scans
+        translate filter names per entry.  Historical partition-spec
+        labels are refreshed to the new name (partition values are
+        positional, names are labels), so source-column pruning keeps
+        working across the rename."""
+        self._require_main("rename_column")
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            fields = self._require_field_ids(snap)
+            names = [fl["name"] for fl in fields]
+            if old not in names:
+                raise ValueError(f"no column {old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            new_fields = [
+                {"id": fl["id"], "name": new if fl["name"] == old else fl["name"]}
+                for fl in fields
+            ]
+            schema_json = json.loads(json.dumps(snap["schema"]))
+            for f in schema_json["fields"]:
+                if f["name"] == old:
+                    f["name"] = new
+            schemas = dict(snap.get("schemas") or {})
+            sid = max(int(k) for k in schemas) + 1
+            schemas[str(sid)] = {
+                str(fl["id"]): fl["name"] for fl in new_fields
+            }
+            commit = {
+                "operation": "rename-column",
+                "schema": schema_json,
+                "manifests": list(snap["manifests"]),
+                "fields": new_fields,
+                "next_field_id": snap["next_field_id"],
+                "schema_id": sid,
+                "schemas": schemas,
+                "summary": {"renamed": {old: new}},
+            }
+
+            def relabel(spec: list[dict]) -> list[dict]:
+                return [
+                    dict(s, col=new if s.get("col") == old else s["col"])
+                    for s in spec
+                ]
+
+            specs = self.partition_specs(snap["version"])
+            if specs:
+                commit["partition_specs"] = [relabel(s) for s in specs]
+                commit["partition_spec"] = relabel(
+                    snap.get("partition_spec") or []
+                )
+                commit["default_spec_id"] = snap.get("default_spec_id", 0)
+            if snap.get("bloom_cols"):
+                commit["bloom_cols"] = [
+                    new if c == old else c for c in snap["bloom_cols"]
+                ]
+            try:
+                return self._commit(commit, expected_parent=snap["version"])
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"rename_column lost {max_retries} commit races")
+
+    def drop_column(self, name: str, max_retries: int = 5) -> int:
+        """Drop a column without touching data files: the field id leaves
+        the schema, scans stop projecting it, and a later re-add of the
+        SAME name mints a fresh id — old values never resurrect.  Refused
+        while the column sources the current partition spec (evolve the
+        spec first) or keys a pending MOR tombstone (compact first):
+        both would leave metadata pointing at a field that no longer
+        exists."""
+        self._require_main("drop_column")
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            fields = self._require_field_ids(snap)
+            names = [fl["name"] for fl in fields]
+            if name not in names:
+                raise ValueError(f"no column {name!r} (have {names})")
+            if len(names) == 1:
+                raise ValueError("cannot drop the last column")
+            for s in snap.get("partition_spec") or []:
+                if s.get("col") == name:
+                    raise ValueError(
+                        f"{name!r} sources the current partition spec; "
+                        "evolve_partition_spec first"
+                    )
+            for d in self.delete_entries(snap["version"]):
+                dmap = _name_map_for(snap, d.get("schema_id"))
+                inv = {p: c for c, p in dmap.items()} if dmap else {}
+                cur = [inv.get(p, p) for p in d["cols"]]
+                if name in cur:
+                    raise ValueError(
+                        f"{name!r} keys a pending MOR tombstone; compact "
+                        "or rewrite before dropping"
+                    )
+            dropped_id = next(
+                fl["id"] for fl in fields if fl["name"] == name
+            )
+            new_fields = [fl for fl in fields if fl["name"] != name]
+            schema_json = json.loads(json.dumps(snap["schema"]))
+            schema_json["fields"] = [
+                f for f in schema_json["fields"] if f["name"] != name
+            ]
+            schemas = dict(snap.get("schemas") or {})
+            sid = max(int(k) for k in schemas) + 1
+            schemas[str(sid)] = {
+                str(fl["id"]): fl["name"] for fl in new_fields
+            }
+            commit = {
+                "operation": "drop-column",
+                "schema": schema_json,
+                "manifests": list(snap["manifests"]),
+                "fields": new_fields,
+                "next_field_id": snap["next_field_id"],
+                "schema_id": sid,
+                "schemas": schemas,
+                "summary": {"dropped": name},
+            }
+            specs = self.partition_specs(snap["version"])
+            if specs:
+                # historical specs may label the dropped source column;
+                # tombstone the label so a future re-add of the same name
+                # can never be pruned against the OLD field's partition
+                # values
+                sentinel = f"__dropped_{dropped_id}"
+
+                def relabel(spec: list[dict]) -> list[dict]:
+                    return [
+                        dict(s, col=sentinel if s.get("col") == name
+                             else s["col"])
+                        for s in spec
+                    ]
+
+                commit["partition_specs"] = [relabel(s) for s in specs]
+                commit["partition_spec"] = relabel(
+                    snap.get("partition_spec") or []
+                )
+                commit["default_spec_id"] = snap.get("default_spec_id", 0)
+            if snap.get("bloom_cols"):
+                commit["bloom_cols"] = [
+                    c for c in snap["bloom_cols"] if c != name
+                ]
+            try:
+                return self._commit(commit, expected_parent=snap["version"])
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop_column lost {max_retries} commit races")
+
+    def add_column(
+        self, name: str, dtype: T.DataType, max_retries: int = 5
+    ) -> int:
+        """Add a nullable column as a metadata-only commit: existing
+        files read NULL for it (their schema id predates the field), new
+        writes carry it.  Equivalent to ``append(..., evolve=True)``
+        without having to write data."""
+        self._require_main("add_column")
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            fields = self._require_field_ids(snap)
+            names = [fl["name"] for fl in fields]
+            if name in names:
+                raise ValueError(f"column {name!r} already exists")
+            fid = snap["next_field_id"]
+            new_fields = fields + [{"id": fid, "name": name}]
+            schema_json = json.loads(json.dumps(snap["schema"]))
+            schema_json["fields"].append(
+                T.StructField(name, dtype, True).jsonValue()
+            )
+            schemas = dict(snap.get("schemas") or {})
+            sid = max(int(k) for k in schemas) + 1
+            schemas[str(sid)] = {
+                str(fl["id"]): fl["name"] for fl in new_fields
+            }
+            try:
+                return self._commit(
+                    {
+                        "operation": "add-column",
+                        "schema": schema_json,
+                        "manifests": list(snap["manifests"]),
+                        "fields": new_fields,
+                        "next_field_id": fid + 1,
+                        "schema_id": sid,
+                        "schemas": schemas,
+                        "summary": {
+                            "added": {name: dtype.simpleString()}
+                        },
+                    },
+                    expected_parent=snap["version"],
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"add_column lost {max_retries} commit races")
 
     def _entry_partition_ok(
         self, e: dict, filters: list[tuple], specs: list[list]
@@ -827,6 +1189,14 @@ class Table:
                     )
                 )
         shutil.rmtree(stage, ignore_errors=True)
+        if exists:
+            cur_sid = self._snapshot().get("schema_id")
+            if cur_sid is not None:
+                # physical column names in these files are the names
+                # current NOW; the stamp lets every future reader map
+                # them through renames/drops via field ids
+                for e in entries:
+                    e["schema_id"] = cur_sid
         return entries
 
     def _move_into_data(
@@ -940,7 +1310,20 @@ class Table:
             v = self.committed_version_for(idempotency_key)
             if v is not None:
                 return v
+        base_names = {f.name for f in self.schema().fields}
         aligned, schema_json = self._aligned(df, evolve)
+        added_fields = [
+            fd for fd in schema_json["fields"] if fd["name"] not in base_names
+        ]
+        # Physical column names in the files about to be written = the
+        # names current NOW (pre-existing fields) + the evolve-added
+        # names.  Captured BEFORE materialize so a commit-race rebase
+        # (which may pick up a concurrent rename) still stamps the files
+        # with the map describing what is physically inside them.
+        write_names_by_id = {
+            fl["id"]: fl["name"]
+            for fl in (self._snapshot().get("fields") or [])
+        }
         entries = self._materialize(aligned, n_files, max_rows_per_file)
         summary = {
             "added_files": len(entries),
@@ -950,31 +1333,66 @@ class Table:
             summary["idempotency_key"] = idempotency_key
         manifest = None
         stamped_seq = None
+        stamped_sid = None
         for _ in range(max_retries):
             snap = self._snapshot()
+            # rebase the commit schema onto the CURRENT tip: a concurrent
+            # rename/drop must not be reverted by replaying names aligned
+            # against the old tip.  The data files are untouched — their
+            # schema-id stamp maps the write-time physical names forward.
+            tip_names = {f["name"] for f in snap["schema"]["fields"]}
+            schema_json = dict(
+                snap["schema"],
+                fields=list(snap["schema"]["fields"])
+                + [fd for fd in added_fields if fd["name"] not in tip_names],
+            )
             seq = self._seq_of(snap) + 1
-            if entries and seq != stamped_seq:
+            # Evolve appends mint field ids for the added columns at
+            # commit time — derive them HERE (not in _commit) so the
+            # manifest entries can be stamped with a schema id whose map
+            # actually covers the new columns; otherwise the new files'
+            # added column would read NULL (its id absent from the
+            # write-time map).
+            meta = (
+                self._derive_schema_meta(
+                    snap, schema_json, write_names_by_id
+                )
+                if added_fields and snap.get("fields")
+                else None
+            )
+            file_sid = meta["file_sid"] if meta else None
+            if entries and (seq != stamped_seq or file_sid != stamped_sid):
                 # re-seq after a lost race: the manifest (cheap JSON) is
                 # rewritten so these files sort AFTER the commit that won
                 # — a concurrent MOR delete must not claim rows it never
                 # saw.  Data files are untouched; stale manifests are GC'd.
                 for e in entries:
                     e["seq"] = seq
+                    if file_sid is not None:
+                        e["schema_id"] = file_sid
                 manifest = self._write_manifest(entries)
                 stamped_seq = seq
+                stamped_sid = file_sid
             manifests = list(snap["manifests"])
             if manifest:
                 manifests.append(manifest)
+            commit_snap = {
+                "operation": "append",
+                "schema": schema_json,
+                "manifests": manifests,
+                "seq": seq,
+                "summary": summary,
+            }
+            if meta:
+                commit_snap.update(
+                    fields=meta["fields"],
+                    next_field_id=meta["next_field_id"],
+                    schemas=meta["schemas"],
+                    schema_id=meta["schema_id"],
+                )
             try:
                 return self._commit(
-                    {
-                        "operation": "append",
-                        "schema": schema_json,
-                        "manifests": manifests,
-                        "seq": seq,
-                        "summary": summary,
-                    },
-                    expected_parent=snap["version"],
+                    commit_snap, expected_parent=snap["version"]
                 )
             except CommitConflict:
                 if idempotency_key is not None:
@@ -1021,20 +1439,47 @@ class Table:
         entries = self.entries(snap["version"])
         if filters:
             specs = self.partition_specs(snap["version"])
-            entries = [
-                e
-                for e in entries
-                if _may_match(e, filters)
-                and _bloom_may_match(e, filters)
-                and self._entry_partition_ok(e, filters, specs)
-            ]
+            entries = self._keep_under_filters(snap, entries, filters, specs)
         return self._read_with_deletes(
             spark,
             entries,
             schema,
             self.delete_entries(snap["version"]),
             filters=filters,
+            snap=snap,
         )
+
+    def _keep_under_filters(
+        self,
+        snap: dict,
+        entries: list[dict],
+        filters: list[tuple],
+        specs: list[list],
+    ) -> list[dict]:
+        """Manifest pruning with per-entry name translation: stats and
+        blooms are keyed by the PHYSICAL (write-time) names, so filters
+        on current names map through each entry's schema id; partition
+        specs are kept relabelled to current names on rename, so they
+        take the filters untranslated.  An entry whose file physically
+        lacks a filtered field is pruned outright (all ops are
+        NULL-rejecting)."""
+        known = {fl["name"] for fl in (snap.get("fields") or [])}
+        maps: dict = {}
+        out = []
+        for e in entries:
+            sid = e.get("schema_id")
+            if sid not in maps:
+                maps[sid] = _name_map_for(snap, sid)
+            pf = _phys_filters(filters, maps[sid], known)
+            if pf is None:
+                continue
+            if (
+                _may_match(e, pf)
+                and _bloom_may_match(e, pf)
+                and self._entry_partition_ok(e, filters, specs)
+            ):
+                out.append(e)
+        return out
 
     def _read_with_deletes(
         self,
@@ -1043,14 +1488,23 @@ class Table:
         schema: T.StructType,
         deletes: list[dict],
         filters: list[tuple] | None = None,
+        snap: dict | None = None,
     ) -> DataFrame:
         """Read data entries with pending equality deletes applied.  A
         delete file applies to a data file iff the data file's sequence
         number is strictly LOWER (rows appended after the delete survive).
-        Entries are grouped by applicable-delete subset — in steady state
-        one group — and each group anti-joins the union of its delete
-        files per key-column tuple, broadcast while the tombstones are
-        small (they are bounded by churn, not table size)."""
+        Entries are grouped by (applicable-delete subset, write-time
+        schema id) — in steady state one group — and each group anti-joins
+        the union of its delete files per key-column tuple, broadcast
+        while the tombstones are small (they are bounded by churn, not
+        table size).
+
+        ``snap`` (when given) carries field-id metadata: each group is
+        read under its PHYSICAL write-time column names and projected to
+        the current names via field ids, so files written before a rename
+        keep reading, files written before a column existed read NULL for
+        it, and a dropped-then-re-added column never resurrects old data.
+        Tombstone key columns map the same way."""
         if not entries:
             return spark.createDataFrame([], schema)
         groups: dict[tuple, list[dict]] = {}
@@ -1060,30 +1514,64 @@ class Table:
                 for i, d in enumerate(deletes)
                 if e.get("seq", 0) < d["seq"]
             )
-            groups.setdefault(applicable, []).append(e)
+            groups.setdefault((applicable, e.get("schema_id")), []).append(e)
+        ident = {f.name: f.name for f in schema.fields}
         out = None
-        for applicable, es in groups.items():
-            df = spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, e["path"]) for e in es]
-            )
+        for (applicable, sid), es in groups.items():
+            nmap = _name_map_for(snap, sid)
+            paths = [os.path.join(self.root, e["path"]) for e in es]
+            if nmap is None or nmap == ident:
+                df = spark.read.schema(schema).parquet(*paths)
+            else:
+                read_schema = T.StructType(
+                    [
+                        T.StructField(nmap[f.name], f.dataType, True)
+                        for f in schema.fields
+                        if f.name in nmap
+                    ]
+                )
+                df = spark.read.schema(read_schema).parquet(*paths).select(
+                    *[
+                        F.col(nmap[f.name]).alias(f.name)
+                        if f.name in nmap
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
             if filters:
                 df = df.where(_filters_to_column(filters))
             bycols: dict[tuple, list[dict]] = {}
             for i in applicable:
                 bycols.setdefault(
-                    tuple(deletes[i]["cols"]), []
+                    (deletes[i].get("schema_id"), tuple(deletes[i]["cols"])),
+                    [],
                 ).append(deletes[i])
-            for cols, ds in bycols.items():
+            for (dsid, cols), ds in bycols.items():
+                dmap = _name_map_for(snap, dsid)
+                if dmap is None:
+                    cur_cols = list(cols)
+                    sel = [F.col(c) for c in cols]
+                else:
+                    inv = {p: c for c, p in dmap.items()}
+                    missing = [p for p in cols if p not in inv]
+                    if missing:
+                        raise RuntimeError(
+                            f"pending delete file keys on column(s) "
+                            f"{missing} that were dropped from the schema; "
+                            "compact or apply tombstones before dropping"
+                        )
+                    cur_cols = [inv[p] for p in cols]
+                    sel = [F.col(p).alias(inv[p]) for p in cols]
                 dk = (
                     spark.read.parquet(
                         *[os.path.join(self.root, d["path"]) for d in ds]
                     )
-                    .select(*cols)
+                    .select(*sel)
                     .distinct()
                 )
                 if sum(d["bytes"] for d in ds) < (32 << 20):
                     dk = F.broadcast(dk)
-                df = df.join(dk, list(cols), "left_anti")
+                df = df.join(dk, cur_cols, "left_anti")
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -1114,7 +1602,11 @@ class Table:
         schema = T.StructType.fromJson(snap["schema"])
         entries = self.added_entries(since_version, snap["version"])
         return self._read_with_deletes(
-            spark, entries, schema, self.delete_entries(snap["version"])
+            spark,
+            entries,
+            schema,
+            self.delete_entries(snap["version"]),
+            snap=snap,
         )
 
     def files_df(
@@ -1198,46 +1690,76 @@ class Table:
                 stats_fields = {
                     f.name for f in df.schema["stats"].dataType.fields
                 }
-            for col, op, val in filters:
-                if col not in stats_fields:
-                    continue  # no stats anywhere -> conjunct can't prune
-                s = F.col("stats").getField(col)
-                lo, hi, nulls = (
-                    s.getField("min"),
-                    s.getField("max"),
-                    s.getField("nulls"),
-                )
-                if op == "=":
-                    base = (lo <= F.lit(val)) & (hi >= F.lit(val))
-                elif op == "<":
-                    base = lo < F.lit(val)
-                elif op == "<=":
-                    base = lo <= F.lit(val)
-                elif op == ">":
-                    base = hi > F.lit(val)
-                elif op == ">=":
-                    base = hi >= F.lit(val)
-                elif op == "in":
-                    base = F.lit(False)
-                    for v in val:
-                        base = base | (
-                            (lo <= F.lit(v)) & (hi >= F.lit(v))
-                        )
-                elif op == "between":
-                    base = (hi >= F.lit(val[0])) & (lo <= F.lit(val[1]))
-                else:
-                    continue
-                keep = (
-                    F.when(nulls == F.col("rows"), F.lit(False))
-                    .when(lo.isNull() | hi.isNull(), F.lit(True))
-                    .otherwise(base)
-                )
-                df = df.where(F.coalesce(keep, F.lit(True)))
+
+            def keep_pred(fs: list[tuple]) -> Column:
+                # same keep-or-prune decision as _may_match, one Column
+                pred = F.lit(True)
+                for col, op, val in fs:
+                    if col not in stats_fields:
+                        continue  # no stats anywhere -> can't prune on it
+                    s = F.col("stats").getField(col)
+                    lo, hi, nulls = (
+                        s.getField("min"),
+                        s.getField("max"),
+                        s.getField("nulls"),
+                    )
+                    if op == "=":
+                        base = (lo <= F.lit(val)) & (hi >= F.lit(val))
+                    elif op == "<":
+                        base = lo < F.lit(val)
+                    elif op == "<=":
+                        base = lo <= F.lit(val)
+                    elif op == ">":
+                        base = hi > F.lit(val)
+                    elif op == ">=":
+                        base = hi >= F.lit(val)
+                    elif op == "in":
+                        base = F.lit(False)
+                        for v in val:
+                            base = base | (
+                                (lo <= F.lit(v)) & (hi >= F.lit(v))
+                            )
+                    elif op == "between":
+                        base = (hi >= F.lit(val[0])) & (lo <= F.lit(val[1]))
+                    else:
+                        continue
+                    keep = (
+                        F.when(nulls == F.col("rows"), F.lit(False))
+                        .when(lo.isNull() | hi.isNull(), F.lit(True))
+                        .otherwise(base)
+                    )
+                    pred = pred & F.coalesce(keep, F.lit(True))
+                return pred
+
+            schemas = snap.get("schemas") or {}
+            maps = {
+                int(k): _name_map_for(snap, int(k)) for k in schemas
+            }
+            uniform = len(
+                {tuple(sorted(m.items())) for m in maps.values() if m}
+            ) <= 1
+            if uniform or "schema_id" not in df.columns:
+                # no rename/drop ever happened (or pre-field-id
+                # manifests): one stats namespace, one predicate
+                df = df.where(keep_pred(filters))
+            else:
+                # stats are keyed by write-time names: evaluate the same
+                # predicate per schema id with translated column names;
+                # unknown/unstamped schema ids are never pruned
+                known = {fl["name"] for fl in (snap.get("fields") or [])}
+                sid_col = F.col("schema_id")
+                keep = ~sid_col.isin(list(maps))
+                for sid, nmap in maps.items():
+                    pf = _phys_filters(filters, nmap, known)
+                    if pf is None:
+                        continue  # filtered field absent in these files
+                    keep = keep | ((sid_col == F.lit(sid)) & keep_pred(pf))
+                df = df.where(sid_col.isNull() | keep)
         cols = [
             c
             for c in (
                 "path", "rows", "bytes", "seq", "partition", "spec_id",
-                "blooms",
+                "schema_id", "blooms",
             )
             if c in df.columns
         ]
@@ -1256,52 +1778,50 @@ class Table:
                     )
                 ]
             # blooms probe driver-side over the already-thinned survivors
-            # (bounded), keeping bit-parity with the driver loop
-            out = [
-                e
-                for e in out
+            # (bounded), keeping bit-parity with the driver loop; bloom
+            # keys are write-time names, so translate per entry
+            known = {fl["name"] for fl in (snap.get("fields") or [])}
+            bmaps: dict = {}
+            kept = []
+            for e in out:
+                sid = e.get("schema_id")
+                if sid not in bmaps:
+                    bmaps[sid] = _name_map_for(snap, sid)
+                pf = _phys_filters(filters, bmaps[sid], known)
+                if pf is None:
+                    continue
                 if _bloom_may_match(
                     {"blooms": {
                         c: b for c, b in (e.get("blooms") or {}).items()
                         if b is not None
                     }},
-                    filters,
-                )
-            ]
+                    pf,
+                ):
+                    kept.append(e)
+            out = kept
         return out
 
     def scan_file_count(
         self, filters: list[tuple] | None = None, version: int | None = None
     ) -> int:
         """How many files a scan would open — the pruning measurement."""
-        entries = self.entries(version)
+        snap = self._snapshot(version)
+        entries = self.entries(snap["version"])
         if filters:
-            specs = self.partition_specs(version)
-            entries = [
-                e
-                for e in entries
-                if _may_match(e, filters)
-                and _bloom_may_match(e, filters)
-                and self._entry_partition_ok(e, filters, specs)
-            ]
+            specs = self.partition_specs(snap["version"])
+            entries = self._keep_under_filters(snap, entries, filters, specs)
         return len(entries)
 
     # -------------------------------------------------- rewriting commits
     def _split_entries(
         self, filters: list[tuple], version: int
     ) -> tuple[list[dict], list[dict]]:
+        snap = self._snapshot(version)
         entries = self.entries(version)
         specs = self.partition_specs(version)
-
-        def may(e: dict) -> bool:
-            return (
-                _may_match(e, filters)
-                and _bloom_may_match(e, filters)
-                and self._entry_partition_ok(e, filters, specs)
-            )
-
-        hit = [e for e in entries if may(e)]
-        keep = [e for e in entries if not may(e)]
+        hit = self._keep_under_filters(snap, entries, filters, specs)
+        paths = {e["path"] for e in hit}
+        keep = [e for e in entries if e["path"] not in paths]
         return hit, keep
 
     def delete_where(
@@ -1327,7 +1847,7 @@ class Table:
         # them — dropping the rows now prevents resurrection).
         pred = _filters_to_column(filters)
         survivors = self._read_with_deletes(
-            spark, hit, schema, deletes
+            spark, hit, schema, deletes, snap=snap
         ).where(~F.coalesce(pred, F.lit(False)))
         new_entries = self._materialize(survivors)
         for e in new_entries:
@@ -1416,6 +1936,21 @@ class Table:
         snap = self._snapshot()
         aligned_src, schema_json = self._aligned(source, evolve)
         merged_fields = T.StructType.fromJson(schema_json).fields
+        # evolve-added columns are physically present in every file this
+        # merge writes (rewritten survivors read them as NULL, source
+        # rows carry values) — mint their field ids NOW and stamp the new
+        # entries, or the added column would read NULL everywhere (its id
+        # absent from the pre-commit schema map)
+        grew = len(merged_fields) > len(snap["schema"]["fields"])
+        meta = (
+            self._derive_schema_meta(
+                snap,
+                schema_json,
+                {fl["id"]: fl["name"] for fl in snap["fields"]},
+            )
+            if grew and snap.get("fields")
+            else None
+        )
         if check_unique_keys:
             dup = (
                 source.groupBy(*key_cols)
@@ -1456,7 +1991,11 @@ class Table:
         new_entries: list[dict] = []
         if hit:
             target_hit = self._read_with_deletes(
-                spark, hit, old_schema, self.delete_entries(snap["version"])
+                spark,
+                hit,
+                old_schema,
+                self.delete_entries(snap["version"]),
+                snap=snap,
             )
             survivors = target_hit.join(
                 aligned_src.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -1469,27 +2008,34 @@ class Table:
         new_entries.extend(self._materialize(aligned_src))
         for e in new_entries:
             e["seq"] = seq
+            if meta:
+                e["schema_id"] = meta["file_sid"]
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
         if new_entries:
             manifests.append(self._write_manifest(new_entries))
-        return self._commit(
-            {
-                "operation": "merge",
-                "schema": schema_json,
-                "manifests": manifests,
-                "seq": seq,
-                "delete_manifests": self._live_delete_manifests(
-                    keep + new_entries, snap.get("delete_manifests", [])
-                ),
-                "summary": {
-                    "rewritten_files": len(hit),
-                    "carried_files": len(keep),
-                },
+        commit_snap = {
+            "operation": "merge",
+            "schema": schema_json,
+            "manifests": manifests,
+            "seq": seq,
+            "delete_manifests": self._live_delete_manifests(
+                keep + new_entries, snap.get("delete_manifests", [])
+            ),
+            "summary": {
+                "rewritten_files": len(hit),
+                "carried_files": len(keep),
             },
-            expected_parent=snap["version"],
-        )
+        }
+        if meta:
+            commit_snap.update(
+                fields=meta["fields"],
+                next_field_id=meta["next_field_id"],
+                schemas=meta["schemas"],
+                schema_id=meta["schema_id"],
+            )
+        return self._commit(commit_snap, expected_parent=snap["version"])
 
     def _merge_upsert_mor(
         self,
@@ -1521,14 +2067,30 @@ class Table:
         dk = aligned_src.select(*key_cols).distinct()
         for k in key_cols:
             dk = dk.where(F.col(k).isNotNull())
+        write_names_by_id = {
+            fl["id"]: fl["name"]
+            for fl in (self._snapshot().get("fields") or [])
+        }
+        n_base = len(self._snapshot()["schema"]["fields"])
         del_entries = self._materialize(dk, n_files=1, partitioned=False)
         data_entries = self._materialize(aligned_src)
         stamped_seq = None
+        stamped_sid = None
         dm = data_manifest = None
         for _ in range(max_retries):
             snap = self._snapshot()
             seq = self._seq_of(snap) + 1
-            if seq != stamped_seq:
+            # evolve-added columns: mint field ids here (not in _commit)
+            # so the data entries carry a schema id covering them
+            meta = (
+                self._derive_schema_meta(
+                    snap, schema_json, write_names_by_id
+                )
+                if len(schema_json["fields"]) > n_base and snap.get("fields")
+                else None
+            )
+            file_sid = meta["file_sid"] if meta else None
+            if seq != stamped_seq or file_sid != stamped_sid:
                 # source data files get seq == the delete's seq: strict-<
                 # applicability deletes every OLDER copy of a key but
                 # never the row this very merge appends
@@ -1537,6 +2099,8 @@ class Table:
                     e["cols"] = list(key_cols)
                 for e in data_entries:
                     e["seq"] = seq
+                    if file_sid is not None:
+                        e["schema_id"] = file_sid
                 dm = (
                     self._write_manifest(del_entries)
                     if del_entries
@@ -1548,6 +2112,7 @@ class Table:
                     else None
                 )
                 stamped_seq = seq
+                stamped_sid = file_sid
             manifests = list(snap["manifests"])
             if data_manifest:
                 manifests.append(data_manifest)
@@ -1561,17 +2126,24 @@ class Table:
             }
             if idempotency_key is not None:
                 summary["idempotency_key"] = idempotency_key
+            commit_snap = {
+                "operation": "merge-mor",
+                "schema": schema_json,
+                "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": delete_manifests,
+                "summary": summary,
+            }
+            if meta:
+                commit_snap.update(
+                    fields=meta["fields"],
+                    next_field_id=meta["next_field_id"],
+                    schemas=meta["schemas"],
+                    schema_id=meta["schema_id"],
+                )
             try:
                 return self._commit(
-                    {
-                        "operation": "merge-mor",
-                        "schema": schema_json,
-                        "manifests": manifests,
-                        "seq": seq,
-                        "delete_manifests": delete_manifests,
-                        "summary": summary,
-                    },
-                    expected_parent=snap["version"],
+                    commit_snap, expected_parent=snap["version"]
                 )
             except CommitConflict:
                 if idempotency_key is not None:
@@ -1678,7 +2250,7 @@ class Table:
         schema = T.StructType.fromJson(snap["schema"])
         seq = self._seq_of(snap) + 1
         survivors = self._read_with_deletes(
-            spark, hit, schema, self.delete_entries(snap["version"])
+            spark, hit, schema, self.delete_entries(snap["version"]), snap=snap
         ).join(keys.select(*key_cols).distinct(), key_cols, "left_anti")
         new_entries = self._materialize(survivors)
         for e in new_entries:
@@ -1739,7 +2311,7 @@ class Table:
         schema = T.StructType.fromJson(snap["schema"])
         seq = self._seq_of(snap) + 1
         n_files = max(1, -(-sum(e["bytes"] for e in small) // target_file_bytes))
-        df = self._read_with_deletes(spark, small, schema, deletes)
+        df = self._read_with_deletes(spark, small, schema, deletes, snap=snap)
         new_entries = self._materialize(df, n_files=n_files)
         for e in new_entries:
             e["seq"] = seq
@@ -1801,18 +2373,27 @@ class Table:
         history is never rewritten, so the bad snapshots stay auditable)."""
         old = self._snapshot(version)
         tip = self._snapshot()
-        return self._commit(
-            {
-                "operation": "rollback",
-                "schema": old["schema"],
-                "manifests": old["manifests"],
-                # the old file set pairs with the old tombstone set —
-                # restoring one without the other would resurrect rows
-                "delete_manifests": old.get("delete_manifests", []),
-                "summary": {"to_version": version},
-            },
-            expected_parent=tip["version"],
-        )
+        snap = {
+            "operation": "rollback",
+            "schema": old["schema"],
+            "manifests": old["manifests"],
+            # the old file set pairs with the old tombstone set —
+            # restoring one without the other would resurrect rows
+            "delete_manifests": old.get("delete_manifests", []),
+            "summary": {"to_version": version},
+        }
+        if old.get("fields"):
+            # restore the old schema's exact field ids (deriving from the
+            # tip would mint NEW ids for any since-renamed name); the
+            # registry and the id high-water mark stay the TIP's — ids
+            # are never reused, and old stamps must keep resolving
+            snap["fields"] = old["fields"]
+            snap["schema_id"] = old.get("schema_id", 0)
+            snap["schemas"] = tip.get("schemas", old.get("schemas"))
+            snap["next_field_id"] = tip.get(
+                "next_field_id", old.get("next_field_id")
+            )
+        return self._commit(snap, expected_parent=tip["version"])
 
     def rewrite_clustered(
         self,
@@ -1920,6 +2501,12 @@ class Table:
         if snap.get("partition_specs"):
             base["partition_specs"] = snap["partition_specs"]
             base["default_spec_id"] = snap.get("default_spec_id", 0)
+        if snap.get("fields"):
+            # the branch chain continues main's field-id story so its
+            # entry stamps resolve after publish (schema changes
+            # themselves stay main-only via _require_main)
+            for k in ("fields", "next_field_id", "schema_id", "schemas"):
+                base[k] = snap[k]
         br._commit(base, expected_parent=None)
         return br
 
@@ -1957,9 +2544,11 @@ class Table:
         for _ in range(max_retries):
             tip = self._snapshot()
             tip_dm = list(tip.get("delete_manifests", []))
+            adopt_branch_fields = False
             if tip["version"] == base_v:
                 manifests = list(bsnap["manifests"])
                 schema = bsnap["schema"]
+                adopt_branch_fields = True
                 delete_manifests = b_dm
                 # adopting the branch chain verbatim: adopt its sequence
                 # high-water mark too, so future tombstones outrank every
@@ -1991,21 +2580,27 @@ class Table:
                         f"branch {name!r} and main both evolved the schema"
                     )
                 schema = bsnap["schema"] if branch_evolved else tip["schema"]
+                adopt_branch_fields = branch_evolved
+            pub = {
+                "operation": "publish",
+                "schema": schema,
+                "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": delete_manifests,
+                "summary": {
+                    "branch": name,
+                    "branch_version": bsnap["version"],
+                },
+            }
+            if adopt_branch_fields and bsnap.get("fields"):
+                # the branch minted the newer schema ids (main did not
+                # evolve since the fork — guarded above), so its registry
+                # is the superset; adopting it keeps branch entry stamps
+                # resolving on main
+                for k in ("fields", "next_field_id", "schema_id", "schemas"):
+                    pub[k] = bsnap[k]
             try:
-                return self._commit(
-                    {
-                        "operation": "publish",
-                        "schema": schema,
-                        "manifests": manifests,
-                        "seq": seq,
-                        "delete_manifests": delete_manifests,
-                        "summary": {
-                            "branch": name,
-                            "branch_version": bsnap["version"],
-                        },
-                    },
-                    expected_parent=tip["version"],
-                )
+                return self._commit(pub, expected_parent=tip["version"])
             except CommitConflict:
                 # a racer advanced main: loop re-reads the tip and retries
                 # via the rebase path (which raises itself if not rebasable)
