@@ -2499,6 +2499,64 @@ def q_table_spec_evolution(spark, sf_dir):
     )
 
 
+def q_table_update_where(spark, sf_dir):
+    """COW UPDATE ... SET ... WHERE (dff/tablefmt.py:update_where):
+    documents ingested as 4 doc_id-range-clustered files; an UPDATE on a
+    100-key range rewrites ONLY the stat-overlapping files (in-run
+    assert: >= 2 of 4 carried by reference) and applies the SET
+    expressions to exactly the predicate-true rows.  Reference analog:
+    the reference refreshes Delta tables by full overwrite
+    (01_dff_model.py:481-485) — this is the surgical row-level verb."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    t.append(
+        d.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+    )
+    before = {e["path"] for e in t.entries()}
+    t.update_where(
+        spark,
+        [("doc_id", "between", (100, 199))],
+        {"lang": "'xx'", "n_chars": "n_chars + 1"},
+    )
+    after = {e["path"] for e in t.entries()}
+    assert len(before & after) >= 2  # untouched files carried by reference
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
+def q_table_merge_conditional(spark, sf_dir):
+    """Conditional MERGE clauses (dff/tablefmt.py:merge_upsert): WHEN
+    MATCHED AND t.doc_id % 2 = 0 THEN UPDATE, WHEN MATCHED AND
+    s.n_chars % 10 = 3 THEN DELETE (checked first, Delta clause order),
+    WHEN NOT MATCHED AND s.doc_id % 2 = 0 THEN INSERT — per-row outcomes
+    against the broadcast source pair, target files never joined unless
+    their stats overlap the source keys."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    t.append(d.where(F.col("doc_id") < 400), n_files=2)
+    src = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit("src").alias("lang"),
+        (F.col("n_chars") + 500).alias("n_chars"),
+    )
+    t.merge_upsert(
+        spark,
+        src,
+        ["doc_id"],
+        matched_condition="t.doc_id % 2 = 0",
+        matched_delete_condition="s.n_chars % 10 = 3",
+        not_matched_condition="s.doc_id % 2 = 0",
+    )
+    return t.scan(spark).select("doc_id", "lang", "n_chars")
+
+
 def q_table_schema_evolution(spark, sf_dir):
     """Field-id schema evolution (dff/tablefmt.py:rename_column /
     append(evolve=True)): even docs ingested, ``lang`` renamed to
@@ -2722,6 +2780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_distributed_plan": q_table_distributed_plan,
         "table_spec_evolution": q_table_spec_evolution,
         "table_schema_evolution": q_table_schema_evolution,
+        "table_update_where": q_table_update_where,
+        "table_merge_conditional": q_table_merge_conditional,
         "table_bloom_lookup": q_table_bloom_lookup,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
@@ -3378,6 +3438,42 @@ def _oracle_sql_base() -> dict[str, str]:
         # spec evolution: layout bookkeeping changes, rows never do
         "table_spec_evolution": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500
+        """,
+        # COW UPDATE: SET expressions on predicate-true rows only
+        "table_update_where": """
+            SELECT doc_id,
+                   CASE WHEN doc_id BETWEEN 100 AND 199
+                        THEN 'xx' ELSE lang END AS lang,
+                   CASE WHEN doc_id BETWEEN 100 AND 199
+                        THEN n_chars + 1 ELSE n_chars END AS n_chars
+            FROM documents
+        """,
+        # conditional MERGE: delete gate first, then update gate; insert
+        # gate on the unmatched source side
+        "table_merge_conditional": """
+            WITH src AS (
+              SELECT doc_id, 'src' AS lang, n_chars + 500 AS n_chars
+              FROM documents WHERE doc_id % 3 = 0
+            ),
+            tgt AS (
+              SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 400
+            )
+            SELECT t.doc_id,
+                   CASE WHEN s.doc_id IS NOT NULL
+                             AND NOT (s.n_chars % 10 = 3)
+                             AND t.doc_id % 2 = 0
+                        THEN s.lang ELSE t.lang END AS lang,
+                   CASE WHEN s.doc_id IS NOT NULL
+                             AND NOT (s.n_chars % 10 = 3)
+                             AND t.doc_id % 2 = 0
+                        THEN s.n_chars ELSE t.n_chars END AS n_chars
+            FROM tgt t LEFT JOIN src s ON s.doc_id = t.doc_id
+            WHERE s.doc_id IS NULL OR NOT (s.n_chars % 10 = 3)
+            UNION ALL
+            SELECT s.doc_id, s.lang, s.n_chars
+            FROM src s
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM tgt)
+              AND s.doc_id % 2 = 0
         """,
         # schema evolution: rename maps old files through field ids,
         # evolve-added column reads NULL before the add, values after

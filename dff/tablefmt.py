@@ -1874,6 +1874,73 @@ class Table:
             expected_parent=snap["version"],
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        filters: list[tuple],
+        assignments: dict[str, "Column | str"],
+    ) -> int:
+        """Copy-on-write ``UPDATE ... SET ... WHERE``: rewrite ONLY the
+        files whose stats overlap the predicate, applying ``assignments``
+        (column -> Column or SQL expression string, evaluated over the
+        row's current values) to the rows where the predicate is TRUE;
+        NULL-predicate rows keep their values (ANSI WHERE semantics).
+        Assigned expressions are cast to the column's existing type —
+        UPDATE never changes the schema.  Every other file is carried by
+        reference; one atomic snapshot commit swaps the file set.  At
+        100 TB the cost is proportional to the stat-overlapping files
+        (a point fix on a clustered key rewrites ~1 file), not the
+        table."""
+        snap = self._snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        unknown = set(assignments) - set(by_name)
+        if unknown:
+            raise ValueError(f"no such column(s): {sorted(unknown)}")
+        hit, keep = self._split_entries(filters, snap["version"])
+        if not hit:
+            return snap["version"]  # predicate provably matches nothing
+        deletes = self.delete_entries(snap["version"])
+        seq = self._seq_of(snap) + 1
+        pred = F.coalesce(_filters_to_column(filters), F.lit(False))
+        rows = self._read_with_deletes(spark, hit, schema, deletes, snap=snap)
+        cols = []
+        for f in schema.fields:
+            if f.name in assignments:
+                a = assignments[f.name]
+                expr = F.expr(a) if isinstance(a, str) else a
+                cols.append(
+                    F.when(pred, expr.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        new_entries = self._materialize(rows.select(*cols))
+        for e in new_entries:
+            e["seq"] = seq
+        manifests = []
+        if keep:
+            manifests.append(self._write_manifest(keep))
+        if new_entries:
+            manifests.append(self._write_manifest(new_entries))
+        return self._commit(
+            {
+                "operation": "update",
+                "schema": snap["schema"],
+                "manifests": manifests,
+                "seq": seq,
+                "delete_manifests": self._live_delete_manifests(
+                    keep + new_entries, snap.get("delete_manifests", [])
+                ),
+                "summary": {
+                    "rewritten_files": len(hit),
+                    "carried_files": len(keep),
+                },
+            },
+            expected_parent=snap["version"],
+        )
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -1883,6 +1950,9 @@ class Table:
         check_unique_keys: bool = True,
         mode: str = "cow",
         idempotency_key: str | None = None,
+        matched_condition: str | None = None,
+        matched_delete_condition: str | None = None,
+        not_matched_condition: str | None = None,
     ) -> int:
         """``MERGE INTO target USING source ON keys WHEN MATCHED THEN
         UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the Delta-style
@@ -1915,11 +1985,36 @@ class Table:
         pay a broadcast anti-join until :meth:`compact` folds the
         tombstones in.  Row-level semantics are identical to COW (pinned
         by tests); MOR merges are additive, so lost commit races rebase
-        and retry like appends instead of raising."""
+        and retry like appends instead of raising.
+
+        Conditional clauses (the full Delta/Iceberg MERGE surface):
+        ``matched_condition`` — SQL over aliases ``t`` (target) and ``s``
+        (source); a matched row updates only when it is TRUE, otherwise
+        the target row survives unchanged.  ``matched_delete_condition``
+        — matched rows satisfying it are DELETED (checked before the
+        update condition, like Delta's clause ordering).
+        ``not_matched_condition`` — SQL over the source row (alias
+        ``s``); unmatched source rows insert only when TRUE.  A NULL
+        condition counts as not-satisfied (Delta semantics).  Conditions
+        require reading the matched rows, so they are COW-only —
+        ``mode="mor"`` never reads the target and raises."""
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        conditional = any(
+            c is not None
+            for c in (
+                matched_condition,
+                matched_delete_condition,
+                not_matched_condition,
+            )
+        )
+        if conditional and mode == "mor":
+            raise ValueError(
+                "conditional MERGE clauses require reading the matched "
+                "rows; mode='mor' never reads the target — use mode='cow'"
+            )
         if idempotency_key is not None:
             v = self.committed_version_for(idempotency_key)
             if v is not None:
@@ -1989,6 +2084,7 @@ class Table:
         ]
         seq = self._seq_of(snap) + 1
         new_entries: list[dict] = []
+        target_hit = None
         if hit:
             target_hit = self._read_with_deletes(
                 spark,
@@ -1997,15 +2093,77 @@ class Table:
                 self.delete_entries(snap["version"]),
                 snap=snap,
             )
-            survivors = target_hit.join(
-                aligned_src.select(*key_cols).distinct(), key_cols, "left_anti"
-            ).select(*pad)
-            new_entries.extend(self._materialize(survivors))
+            if not conditional:
+                # update-all fast path: matched target rows are simply
+                # replaced, so an anti-join (broadcast source keys) drops
+                # them and the whole source appends below
+                survivors = target_hit.join(
+                    aligned_src.select(*key_cols).distinct(),
+                    key_cols,
+                    "left_anti",
+                ).select(*pad)
+                new_entries.extend(self._materialize(survivors))
+            else:
+                # per-row outcome needs the matched PAIR: broadcast the
+                # (small) source onto the hit rows only — carried files
+                # never join.  NULL keys never match (equality join).
+                t = target_hit.select(*pad).alias("t")
+                s = F.broadcast(
+                    aligned_src.withColumn("__s_present", F.lit(True))
+                ).alias("s")
+                on = None
+                for k in key_cols:
+                    c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                    on = c if on is None else (on & c)
+                j = t.join(s, on, "left")
+                matched = F.col("s.__s_present").isNotNull()
+                dele = matched & (
+                    F.coalesce(
+                        F.expr(matched_delete_condition), F.lit(False)
+                    )
+                    if matched_delete_condition
+                    else F.lit(False)
+                )
+                upd = (
+                    matched
+                    & ~dele
+                    & (
+                        F.coalesce(F.expr(matched_condition), F.lit(False))
+                        if matched_condition
+                        else F.lit(True)
+                    )
+                )
+                out_cols = [
+                    F.when(upd, F.col(f"s.{f.name}"))
+                    .otherwise(F.col(f"t.{f.name}"))
+                    .alias(f.name)
+                    for f in merged_fields
+                ]
+                new_entries.extend(
+                    self._materialize(j.where(~dele).select(*out_cols))
+                )
         elif evolve and len(merged_fields) > len(old_schema.fields):
             # schema grew but no files rewrite: carried files simply read
             # NULL for the new columns via the snapshot schema
             pass
-        new_entries.extend(self._materialize(aligned_src))
+        if not conditional:
+            new_entries.extend(self._materialize(aligned_src))
+        else:
+            # inserts = source keys matching NO target row among the hit
+            # files (bounds pruning guarantees no match hides in a
+            # carried file), optionally gated by the insert condition
+            ins = aligned_src
+            if target_hit is not None:
+                ins = ins.join(
+                    target_hit.select(*key_cols).distinct(),
+                    key_cols,
+                    "left_anti",
+                )
+            if not_matched_condition:
+                ins = ins.alias("s").where(
+                    F.coalesce(F.expr(not_matched_condition), F.lit(False))
+                )
+            new_entries.extend(self._materialize(ins))
         for e in new_entries:
             e["seq"] = seq
             if meta:
