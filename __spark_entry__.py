@@ -2499,6 +2499,46 @@ def q_table_spec_evolution(spark, sf_dir):
     )
 
 
+def q_table_widen_type(spark, sf_dir):
+    """Type-widening evolution (dff/tablefmt.py:widen_column_type):
+    even docs ingested with int32 n_chars, the column widens to bigint
+    in a METADATA-ONLY commit (in-run assert: zero files rewritten, old
+    files physically int32), odd docs then land with values past 2^35.
+    Reads cast each file's era; stats pruning spans both eras."""
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+    )
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    t.append(d.where(F.col("doc_id") % 2 == 0), n_files=2)
+    from pyspark.sql import types as T
+
+    files_before = {e["path"] for e in t.entries()}
+    t.widen_column_type("n_chars", T.LongType())
+    assert {e["path"] for e in t.entries()} == files_before  # metadata-only
+    narrow = pq.ParquetFile(
+        _os.path.join(t.root, next(iter(files_before)))
+    ).schema_arrow
+    assert str(narrow.field("n_chars").type) == "int32"  # never rewritten
+    t.append(
+        d.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            (F.col("n_chars").cast("long") + F.lit(2**35)).alias("n_chars"),
+        ),
+        n_files=2,
+    )
+    # values past int32 only exist in the wide era: pruning engages
+    assert t.scan_file_count(filters=[("n_chars", ">=", 2**35)]) <= 2
+    return t.scan(spark).select("doc_id", "n_chars")
+
+
 def q_table_update_where(spark, sf_dir):
     """COW UPDATE ... SET ... WHERE (dff/tablefmt.py:update_where):
     documents ingested as 4 doc_id-range-clustered files; an UPDATE on a
@@ -2780,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_distributed_plan": q_table_distributed_plan,
         "table_spec_evolution": q_table_spec_evolution,
         "table_schema_evolution": q_table_schema_evolution,
+        "table_widen_type": q_table_widen_type,
         "table_update_where": q_table_update_where,
         "table_merge_conditional": q_table_merge_conditional,
         "table_bloom_lookup": q_table_bloom_lookup,
@@ -3438,6 +3479,13 @@ def _oracle_sql_base() -> dict[str, str]:
         # spec evolution: layout bookkeeping changes, rows never do
         "table_spec_evolution": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500
+        """,
+        # type widening: old era int32, new era bigint, one logical column
+        "table_widen_type": """
+            SELECT CAST(doc_id AS INTEGER) AS doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN n_chars
+                        ELSE n_chars + 34359738368 END AS n_chars
+            FROM documents
         """,
         # COW UPDATE: SET expressions on predicate-true rows only
         "table_update_where": """

@@ -36,7 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from dff.tablefmt import Table
+from dff.tablefmt import Table, _name_map_for
 
 _OPS = (">=", "<=", "between", "not_null")
 
@@ -125,10 +125,30 @@ def plan_stats_validation(
             "table.compact() (or any full rewrite) first"
         )
     entries = table.entries(version)
+    snap = table._snapshot(version)
+    cur_names = {fl["name"] for fl in (snap.get("fields") or [])}
+    maps: dict = {}
     decided = {r.constraint_id: 0 for r in rules}
     scan_flags: dict = {}
     scan_files = []
     for e in entries:
+        # schema evolution: manifest stats are keyed by the file's
+        # PHYSICAL (write-time) names — translate to current names per
+        # entry through the field ids, and give fields added AFTER the
+        # file was written exact all-NULL stats (that is precisely what
+        # the file reads for them).  Identity for legacy snapshots.
+        sid = e.get("schema_id")
+        if sid not in maps:
+            maps[sid] = _name_map_for(snap, sid)
+        nmap = maps[sid]
+        if nmap is not None:
+            raw = e.get("stats") or {}
+            stats = {
+                cur: raw[phys] for cur, phys in nmap.items() if phys in raw
+            }
+            for n in cur_names - set(nmap):
+                stats[n] = {"min": None, "max": None, "nulls": e["rows"]}
+            e = dict(e, stats=stats)
         undecided = set()
         for r in rules:
             n = _decide(r, e)
@@ -157,8 +177,12 @@ def validate_table_stats(
     if pl.scan_files:
         snap = table._snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
-        paths = [os.path.join(table.root, e["path"]) for e in pl.scan_files]
-        df = spark.read.schema(schema).parquet(*paths).withColumn(
+        # evolution-aware read (plan already refused pending deletes):
+        # files written under old names/types project to current ones;
+        # input_file_name survives the per-era projections
+        df = table._read_with_deletes(
+            spark, pl.scan_files, schema, [], snap=snap
+        ).withColumn(
             "__file",
             F.element_at(F.split(F.input_file_name(), "/"), -1),
         )

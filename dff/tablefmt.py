@@ -237,6 +237,30 @@ def _safe_widening(src, dst) -> bool:
     return (src.simpleString(), dst.simpleString()) in _SAFE_WIDENINGS
 
 
+# widening only ever involves these atomic types (see _SAFE_WIDENINGS)
+_ATOMIC_TYPES = {
+    "byte": T.ByteType(), "short": T.ShortType(), "int": T.IntegerType(),
+    "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
+}
+
+
+def _phys_type_overrides(snap: dict | None, file_seq: int) -> dict[int, str]:
+    """field id -> PHYSICAL (write-time) simpleString type for data files
+    committed at sequence number ``file_seq``, covering fields whose type
+    was widened AFTER the file was written (appends cast at write, so a
+    file's physical type is the table type as of its commit).  The
+    chronological ``widen_history`` makes this derivable: the physical
+    type is the ``from`` side of the EARLIEST widen that postdates the
+    file.  Empty in steady state (no widening ever happened)."""
+    if snap is None:
+        return {}
+    out: dict[int, str] = {}
+    for w in snap.get("widen_history") or ():
+        if file_seq < w["seq"] and w["field_id"] not in out:
+            out[w["field_id"]] = w["from"]
+    return out
+
+
 def _name_map_for(snap: dict | None, sid) -> dict[str, str] | None:
     """CURRENT column name -> PHYSICAL (write-time) name for data files
     stamped with schema id ``sid``.  This is the field-id indirection
@@ -746,6 +770,9 @@ class Table:
             if "delete_manifests" not in snap:
                 # pending MOR deletes survive unrelated commits untouched
                 snap["delete_manifests"] = parent.get("delete_manifests", [])
+            if "widen_history" not in snap and parent.get("widen_history"):
+                # type-widening eras survive unrelated commits untouched
+                snap["widen_history"] = parent["widen_history"]
             if "fields" not in snap and parent.get("fields"):
                 # derive field ids for this commit's schema from the
                 # parent: known names keep their id, new names (evolve
@@ -1096,6 +1123,87 @@ class Table:
             except CommitConflict:
                 continue
         raise CommitConflict(f"add_column lost {max_retries} commit races")
+
+    def widen_column_type(
+        self, name: str, new_type: T.DataType, max_retries: int = 5
+    ) -> int:
+        """Widen a column's type WITHOUT rewriting a single data file —
+        the last evolution verb (Iceberg type promotion).  Only exact-
+        value promotions are allowed (:data:`_SAFE_WIDENINGS`; no
+        int->float / long->double precision loss).  Old files keep their
+        narrow physical type: the widen is recorded as ``(field_id,
+        from, to, seq)`` in the snapshot's chronological
+        ``widen_history``, so every file's physical type is derivable
+        from its commit sequence number and reads cast per era.  New
+        writes carry the wide type (append already casts at write).
+
+        Refused while branches are open: branch chains mint sequence
+        numbers concurrently with main, so a branch file's seq has no
+        defined order against the widen's seq — the same rule publish
+        applies to concurrent tombstones.  Publish or drop branches
+        first."""
+        self._require_main("widen_column_type")
+        bdir = os.path.join(self.manifest_dir, "branches")
+        open_branches = sorted(os.listdir(bdir)) if os.path.isdir(bdir) else []
+        if open_branches:
+            raise ValueError(
+                f"widen_column_type with open branches {open_branches} "
+                "could mis-type branch files (concurrent sequence "
+                "numbers); publish or drop them first"
+            )
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            fields = self._require_field_ids(snap)
+            names = [fl["name"] for fl in fields]
+            if name not in names:
+                raise ValueError(f"no column {name!r} (have {names})")
+            schema = T.StructType.fromJson(snap["schema"])
+            cur = schema[name].dataType
+            if cur.simpleString() == new_type.simpleString():
+                return snap["version"]  # already that type: no-op
+            if not _safe_widening(cur, new_type):
+                raise ValueError(
+                    f"cannot widen {name!r} {cur.simpleString()} -> "
+                    f"{new_type.simpleString()}: not an exact-value "
+                    "promotion"
+                )
+            fid = next(fl["id"] for fl in fields if fl["name"] == name)
+            schema_json = json.loads(json.dumps(snap["schema"]))
+            for f in schema_json["fields"]:
+                if f["name"] == name:
+                    f["type"] = json.loads(new_type.json())
+            seq = self._seq_of(snap) + 1
+            wh = list(snap.get("widen_history") or []) + [
+                {
+                    "field_id": fid,
+                    "from": cur.simpleString(),
+                    "to": new_type.simpleString(),
+                    "seq": seq,
+                }
+            ]
+            commit = {
+                "operation": "widen-column",
+                "schema": schema_json,
+                "manifests": list(snap["manifests"]),
+                "fields": fields,
+                "next_field_id": snap["next_field_id"],
+                "schema_id": snap.get("schema_id", 0),
+                "schemas": snap.get("schemas"),
+                "seq": seq,
+                "widen_history": wh,
+                "summary": {
+                    "widened": {
+                        name: [cur.simpleString(), new_type.simpleString()]
+                    }
+                },
+            }
+            try:
+                return self._commit(commit, expected_parent=snap["version"])
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"widen_column_type lost {max_retries} commit races"
+        )
 
     def _entry_partition_ok(
         self, e: dict, filters: list[tuple], specs: list[list]
@@ -1514,29 +1622,52 @@ class Table:
                 for i, d in enumerate(deletes)
                 if e.get("seq", 0) < d["seq"]
             )
-            groups.setdefault((applicable, e.get("schema_id")), []).append(e)
+            # widened fields split read groups by era: each group reads
+            # its files under their physical write-time types and casts
+            pt = tuple(
+                sorted(_phys_type_overrides(snap, e.get("seq", 0)).items())
+            )
+            groups.setdefault(
+                (applicable, e.get("schema_id"), pt), []
+            ).append(e)
         ident = {f.name: f.name for f in schema.fields}
+        ids_by_name = (
+            {fl["name"]: fl["id"] for fl in (snap.get("fields") or [])}
+            if snap
+            else {}
+        )
         out = None
-        for (applicable, sid), es in groups.items():
+        for (applicable, sid, pt), es in groups.items():
+            overrides = dict(pt)
             nmap = _name_map_for(snap, sid)
             paths = [os.path.join(self.root, e["path"]) for e in es]
-            if nmap is None or nmap == ident:
+            if (nmap is None or nmap == ident) and not overrides:
                 df = spark.read.schema(schema).parquet(*paths)
             else:
-                read_schema = T.StructType(
-                    [
-                        T.StructField(nmap[f.name], f.dataType, True)
-                        for f in schema.fields
-                        if f.name in nmap
-                    ]
-                )
-                df = spark.read.schema(read_schema).parquet(*paths).select(
-                    *[
-                        F.col(nmap[f.name]).alias(f.name)
-                        if f.name in nmap
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in schema.fields
-                    ]
+                names = nmap if nmap is not None else ident
+                read_fields, proj = [], []
+                for f in schema.fields:
+                    pn = names.get(f.name)
+                    if pn is None:
+                        proj.append(
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                        )
+                        continue
+                    fid = ids_by_name.get(f.name)
+                    tp = (
+                        _ATOMIC_TYPES[overrides[fid]]
+                        if fid in overrides
+                        else f.dataType
+                    )
+                    read_fields.append(T.StructField(pn, tp, True))
+                    col = F.col(pn)
+                    if tp != f.dataType:
+                        col = col.cast(f.dataType)
+                    proj.append(col.alias(f.name))
+                df = (
+                    spark.read.schema(T.StructType(read_fields))
+                    .parquet(*paths)
+                    .select(*proj)
                 )
             if filters:
                 df = df.where(_filters_to_column(filters))
@@ -2538,6 +2669,11 @@ class Table:
             # the old file set pairs with the old tombstone set —
             # restoring one without the other would resurrect rows
             "delete_manifests": old.get("delete_manifests", []),
+            # the restored schema pairs with the type eras as of that
+            # snapshot (rolled-back widens covered only since-dropped
+            # files, so the narrower history stays consistent); set even
+            # when empty so _commit doesn't inherit the tip's
+            "widen_history": old.get("widen_history", []),
             "summary": {"to_version": version},
         }
         if old.get("fields"):

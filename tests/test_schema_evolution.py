@@ -215,3 +215,159 @@ def test_cow_delete_and_compact_upgrade_physical_names(spark, tbl):
     # post-compaction files are stamped with the current schema id
     sids = {e.get("schema_id") for e in tbl.entries()}
     assert sids == {tbl._snapshot()["schema_id"]}
+
+
+# ------------------------------------------------------------- widening
+WSCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def wframe(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("a"), F.col("id").cast("string")).alias("v"),
+    )
+
+
+def test_widen_metadata_only_reads_both_eras(spark, tmp_path):
+    t = Table.create(str(tmp_path / "w"), WSCHEMA)
+    t.append(wframe(spark, 0, 10), n_files=2)
+    files_before = {e["path"] for e in t.entries()}
+    t.widen_column_type("k", T.LongType())
+    assert {e["path"] for e in t.entries()} == files_before  # metadata-only
+    assert t.schema()["k"].dataType == T.LongType()
+    # post-widen append carries the wide type physically
+    t.append(
+        spark.range(10, 15).select(
+            (F.col("id") + 2**40).alias("k"),
+            F.lit("big").alias("v"),
+        )
+    )
+    got = {r["k"] for r in t.scan(spark).collect()}
+    assert 3 in got and (10 + 2**40) in got and len(got) == 15
+    assert t.scan(spark).schema["k"].dataType == T.LongType()
+
+
+def test_widen_rejects_lossy_and_noops_same_type(spark, tmp_path):
+    t = Table.create(str(tmp_path / "w"), WSCHEMA)
+    v = t.append(wframe(spark, 0, 5), n_files=1)
+    with pytest.raises(ValueError, match="promotion"):
+        t.widen_column_type("k", T.FloatType())  # int->float loses >2^24
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column_type("nope", T.LongType())
+    assert t.widen_column_type("k", T.IntegerType()) == v  # no-op
+    t.widen_column_type("k", T.LongType())
+    with pytest.raises(ValueError, match="promotion"):
+        t.widen_column_type("k", T.IntegerType())  # never narrow back
+
+
+def test_widen_pruning_and_filters_across_eras(spark, tmp_path):
+    t = Table.create(str(tmp_path / "w"), WSCHEMA)
+    for b in range(4):
+        t.append(wframe(spark, b * 100, (b + 1) * 100), n_files=1)
+    t.widen_column_type("k", T.LongType())
+    t.append(
+        spark.range(400, 500).select(
+            F.col("id").alias("k"), F.lit("n").alias("v")
+        ),
+        n_files=1,
+    )
+    # stats pruning engages across narrow and wide eras
+    assert t.scan_file_count(filters=[("k", "between", (150, 160))]) == 1
+    got = sorted(
+        r["k"] for r in t.scan(spark, filters=[("k", ">=", 390)]).collect()
+    )
+    assert got == list(range(390, 500))
+
+
+def test_widen_then_rename_compose(spark, tmp_path):
+    t = Table.create(str(tmp_path / "w"), WSCHEMA)
+    t.append(wframe(spark, 0, 10), n_files=1)
+    t.widen_column_type("k", T.LongType())
+    t.rename_column("k", "key")
+    got = {r["v"]: r["key"] for r in t.scan(spark).collect()}
+    assert got["a7"] == 7 and len(got) == 10
+    assert t.scan(spark).schema["key"].dataType == T.LongType()
+
+
+def test_cow_rewrite_upgrades_physical_type(spark, tmp_path):
+    t = Table.create(str(tmp_path / "w"), WSCHEMA)
+    t.append(wframe(spark, 0, 10), n_files=1)
+    t.widen_column_type("k", T.LongType())
+    t.delete_where(spark, [("k", "=", 3)])
+    # the rewritten file postdates the widen: physically wide
+    import pyarrow.parquet as pq
+    import os as _os
+
+    new = [e for e in t.entries()]
+    assert len(new) == 1
+    sch = pq.ParquetFile(_os.path.join(t.root, new[0]["path"])).schema_arrow
+    assert str(sch.field("k").type) == "int64"
+    assert sorted(r["k"] for r in t.scan(spark).collect()) == [
+        i for i in range(10) if i != 3
+    ]
+
+
+def test_widen_time_travel_and_rollback(spark, tmp_path):
+    t = Table.create(str(tmp_path / "w"), WSCHEMA)
+    v1 = t.append(wframe(spark, 0, 10), n_files=1)
+    t.widen_column_type("k", T.LongType())
+    old = t.scan(spark, version=v1)
+    assert old.schema["k"].dataType == T.IntegerType()
+    assert old.count() == 10
+    t.rollback(v1)
+    assert t.schema()["k"].dataType == T.IntegerType()
+    assert t._snapshot().get("widen_history") == []
+    # widen again after rollback still reads the old files correctly
+    t.widen_column_type("k", T.LongType())
+    assert sorted(r["k"] for r in t.scan(spark).collect()) == list(range(10))
+
+
+def test_widen_refused_with_open_branches(spark, tmp_path):
+    t = Table.create(str(tmp_path / "w"), WSCHEMA)
+    t.append(wframe(spark, 0, 5), n_files=1)
+    t.create_branch("ingest")
+    with pytest.raises(ValueError, match="branches"):
+        t.widen_column_type("k", T.LongType())
+    t.drop_branch("ingest")
+    t.widen_column_type("k", T.LongType())
+    assert t.schema()["k"].dataType == T.LongType()
+
+
+def test_statsvalidate_across_rename_and_add(spark, tbl):
+    from dff.statsvalidate import StatsRule, validate_table_stats, \
+        plan_stats_validation
+
+    tbl.append(frame(spark, 0, 400), n_files=2)
+    tbl.rename_column("amt", "amount")
+    tbl.add_column("score", T.DoubleType())
+    tbl.append(
+        spark.range(400, 500).select(
+            F.col("id").alias("k"),
+            F.lit("z").alias("v"),
+            (F.col("id") * 1.0).alias("amount"),
+            F.lit(5.0).alias("score"),
+        ),
+        n_files=1,
+    )
+    rules = [
+        StatsRule("r_amount", "amount", ">=", lo=100.0),
+        StatsRule("r_score", "score", "not_null"),
+    ]
+    got = {
+        r["constraint_id"]: r["violations"]
+        for r in validate_table_stats(spark, tbl, rules).collect()
+    }
+    # ground truth via full scan of the evolved table
+    full = tbl.scan(spark)
+    assert got["r_amount"] == full.where(
+        F.col("amount").isNull() | (F.col("amount") < 100.0)
+    ).count()
+    assert got["r_score"] == 400  # every pre-add row reads NULL
+    # the not_null rule on the added column is decided from metadata
+    pl = plan_stats_validation(tbl, [rules[1]])
+    assert pl.files_scanned == 0
