@@ -2499,6 +2499,38 @@ def q_table_spec_evolution(spark, sf_dir):
     )
 
 
+def q_table_change_feed(spark, sf_dir):
+    """Change-data-feed (dff/tablefmt.py:scan_changes): a COW delete, a
+    COW update and a MOR delete over the documents table, read back as
+    row-level CDC events (delete / update_preimage / update_postimage
+    with commit versions).  COW changes come from commit-time change
+    files; the MOR delete's pre-images compute on read with the prior
+    snapshot manifest-pruned by the tombstone's own key stats."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = Table.create(
+        tempfile.mkdtemp(prefix="dff-tbl-") + "/docs",
+        d.schema,
+        change_feed=True,
+    )
+    v1 = t.append(
+        d.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+    )
+    t.delete_where(spark, [("doc_id", "between", (100, 149))])
+    t.update_where(
+        spark, [("doc_id", "between", (200, 249))], {"n_chars": "n_chars + 7"}
+    )
+    t.delete_matching_mor(
+        spark,
+        spark.createDataFrame([(300,), (301,), (302,)], "doc_id long"),
+        ["doc_id"],
+    )
+    return t.scan_changes(spark, v1)
+
+
 def q_table_widen_type(spark, sf_dir):
     """Type-widening evolution (dff/tablefmt.py:widen_column_type):
     even docs ingested with int32 n_chars, the column widens to bigint
@@ -2820,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_distributed_plan": q_table_distributed_plan,
         "table_spec_evolution": q_table_spec_evolution,
         "table_schema_evolution": q_table_schema_evolution,
+        "table_change_feed": q_table_change_feed,
         "table_widen_type": q_table_widen_type,
         "table_update_where": q_table_update_where,
         "table_merge_conditional": q_table_merge_conditional,
@@ -3479,6 +3512,25 @@ def _oracle_sql_base() -> dict[str, str]:
         # spec evolution: layout bookkeeping changes, rows never do
         "table_spec_evolution": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 500
+        """,
+        # change feed: delete / update pre+post / MOR-delete CDC events
+        "table_change_feed": """
+            SELECT doc_id, lang, n_chars,
+                   'delete' AS _change_type,
+                   CAST(2 AS BIGINT) AS _commit_version
+            FROM documents WHERE doc_id BETWEEN 100 AND 149
+            UNION ALL
+            SELECT doc_id, lang, n_chars,
+                   'update_preimage', CAST(3 AS BIGINT)
+            FROM documents WHERE doc_id BETWEEN 200 AND 249
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 7,
+                   'update_postimage', CAST(3 AS BIGINT)
+            FROM documents WHERE doc_id BETWEEN 200 AND 249
+            UNION ALL
+            SELECT doc_id, lang, n_chars,
+                   'delete', CAST(4 AS BIGINT)
+            FROM documents WHERE doc_id IN (300, 301, 302)
         """,
         # type widening: old era int32, new era bigint, one logical column
         "table_widen_type": """

@@ -580,6 +580,7 @@ class Table:
         schema: T.StructType,
         partition_spec: list | None = None,
         bloom_cols: list[str] | None = None,
+        change_feed: bool = False,
     ) -> "Table":
         """``partition_spec`` — list of ``(col, transform[, param])``:
         ``identity`` / ``bucket(n)`` / ``truncate(w)`` / ``day`` /
@@ -591,7 +592,13 @@ class Table:
         point lookup on a high-cardinality UNCLUSTERED column (every
         file's range spans the probe, but only ~one file's bloom says
         maybe).  Costs one column re-read per file at write time and
-        ~KBs of manifest per file; ``=`` and ``in`` scans prune on it."""
+        ~KBs of manifest per file; ``=`` and ``in`` scans prune on it.
+
+        ``change_feed``: COW delete/update/merge commits additionally
+        materialize their changed rows as change files, enabling
+        :meth:`scan_changes` (CDC reads) across every operation.
+        Appends, overwrites and MOR commits never pay extra — their
+        changes derive from the log."""
         t = cls(root)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -621,6 +628,8 @@ class Table:
             if missing:
                 raise ValueError(f"bloom_cols not in schema: {missing}")
             snap["bloom_cols"] = list(bloom_cols)
+        if change_feed:
+            snap["change_feed"] = True
         if partition_spec:
             spec = _normalize_spec(partition_spec, schema)
             snap["partition_spec"] = spec
@@ -712,6 +721,17 @@ class Table:
                 out.extend(json.load(f)["entries"])
         return out
 
+    def change_entries(self, version: int | None = None) -> list[dict]:
+        """Change-file entries a commit materialized (CDC pre/post images
+        and deletes, each tagged ``change_type``).  Only COW delete/
+        update/merge commits on a ``change_feed=True`` table carry any."""
+        snap = self._snapshot(version)
+        name = snap.get("change_manifest")
+        if not name:
+            return []
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)["entries"]
+
     @staticmethod
     def _seq_of(snap: dict) -> int:
         # sequence numbers order writes for delete applicability; they are
@@ -773,6 +793,8 @@ class Table:
             if "widen_history" not in snap and parent.get("widen_history"):
                 # type-widening eras survive unrelated commits untouched
                 snap["widen_history"] = parent["widen_history"]
+            if "change_feed" not in snap and parent.get("change_feed"):
+                snap["change_feed"] = True
             if "fields" not in snap and parent.get("fields"):
                 # derive field ids for this commit's schema from the
                 # parent: known names keep their id, new names (evolve
@@ -1740,6 +1762,195 @@ class Table:
             snap=snap,
         )
 
+    def scan_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        until_version: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed read: every row-level change committed in
+        ``(since_version, until_version]``, as the table's current
+        columns plus ``_change_type`` ('insert' / 'delete' /
+        'update_preimage' / 'update_postimage') and ``_commit_version``
+        — the CDC primitive that turns a downstream pipeline incremental
+        even across deletes and updates (``scan_added`` only sees new
+        files).
+
+        Where each op's changes come from:
+
+        - **append / publish**: inserts derive from the added data files
+          — no extra storage, ever.
+        - **COW delete / update / merge**: read from the change files the
+          commit materialized (requires ``change_feed=True`` at create;
+          raises otherwise — rewritten files mix changed and carried
+          rows, so changes are not derivable after the fact).
+        - **MOR delete / merge**: deletes compute ON READ — the prior
+          snapshot is manifest-pruned by the tombstone files' own key
+          stats, read, and semi-joined against the keys; MOR merge
+          therefore surfaces as delete + insert (state-equivalent to the
+          COW merge's update pre/post pair).
+        - **overwrite**: prior snapshot as deletes, new snapshot as
+          inserts.
+        - layout/metadata ops (compact, optimize, schema/spec changes):
+          no row changes, skipped.  **rollback** in range raises — its
+          inverse-change semantics are ambiguous; consumers should
+          re-sync from a fresh snapshot.
+        """
+        snap_u = self._snapshot(until_version)
+        until = snap_u["version"]
+        if since_version > until:
+            raise ValueError(f"since {since_version} > until {until}")
+        schema = T.StructType.fromJson(snap_u["schema"])
+        specs = self.partition_specs(until)
+
+        def with_meta(df: DataFrame, ctype: str, v: int) -> DataFrame:
+            return df.select(
+                *[F.col(f.name) for f in schema.fields],
+                F.lit(ctype).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+
+        parts: list[DataFrame] = []
+        prev_entries = self.entries(since_version)
+        prev_dels = self.delete_entries(since_version)
+        _SKIP = {
+            "create", "branch", "compact", "optimize", "rewrite-manifests",
+            "rename-column", "drop-column", "add-column", "widen-column",
+            "set-partition-spec",
+        }
+        for v in range(since_version + 1, until + 1):
+            s = self._snapshot(v)  # FileNotFoundError when expired
+            op = s["operation"]
+            cur_entries = self.entries(v)
+            cur_dels = self.delete_entries(v)
+            if op == "rollback":
+                raise ValueError(
+                    f"v{v} is a rollback: its change semantics are "
+                    "ambiguous; re-sync from a fresh snapshot instead"
+                )
+            if op in ("delete", "update", "merge"):
+                if not s.get("change_feed"):
+                    raise ValueError(
+                        f"v{v} ({op}) carries no change data — create the "
+                        "table with change_feed=True to read CDC across "
+                        "copy-on-write commits"
+                    )
+                by_type: dict[str, list[dict]] = {}
+                for e in self.change_entries(v):
+                    by_type.setdefault(e["change_type"], []).append(e)
+                for ctype, es in sorted(by_type.items()):
+                    parts.append(
+                        with_meta(
+                            self._read_with_deletes(
+                                spark, es, schema, [], snap=snap_u
+                            ),
+                            ctype,
+                            v,
+                        )
+                    )
+            elif op == "overwrite":
+                if prev_entries:
+                    parts.append(
+                        with_meta(
+                            self._read_with_deletes(
+                                spark, prev_entries, schema, prev_dels,
+                                snap=snap_u,
+                            ),
+                            "delete",
+                            v,
+                        )
+                    )
+                if cur_entries:
+                    parts.append(
+                        with_meta(
+                            self._read_with_deletes(
+                                spark, cur_entries, schema, [], snap=snap_u
+                            ),
+                            "insert",
+                            v,
+                        )
+                    )
+            elif op not in _SKIP:
+                # append / publish / merge-mor / mor-delete: derive
+                seen = {e["path"] for e in prev_entries}
+                added = [e for e in cur_entries if e["path"] not in seen]
+                dseen = {d["path"] for d in prev_dels}
+                new_dels = [d for d in cur_dels if d["path"] not in dseen]
+                if added:
+                    parts.append(
+                        with_meta(
+                            self._read_with_deletes(
+                                spark, added, schema, [], snap=snap_u
+                            ),
+                            "insert",
+                            v,
+                        )
+                    )
+                for d in new_dels:
+                    # current names for the tombstone's physical key cols
+                    dmap = _name_map_for(snap_u, d.get("schema_id"))
+                    inv = {p: c for c, p in dmap.items()} if dmap else {}
+                    cur_cols = [inv.get(p, p) for p in d["cols"]]
+                    missing = [c for c in cur_cols if c not in
+                               {f.name for f in schema.fields}]
+                    if missing:
+                        raise RuntimeError(
+                            f"v{v} tombstone keys on dropped column(s) "
+                            f"{missing}"
+                        )
+                    # manifest-prune the prior snapshot by the tombstone
+                    # file's OWN key stats: at 100 TB a daily delete's
+                    # pre-images read the overlapping files, not the table
+                    st = d.get("stats") or {}
+                    filters = [
+                        (c, "between", (st[p]["min"], st[p]["max"]))
+                        for c, p in zip(cur_cols, d["cols"])
+                        if p in st and st[p]["min"] is not None
+                    ]
+                    pruned = (
+                        self._keep_under_filters(
+                            snap_u, prev_entries, filters, specs
+                        )
+                        if filters
+                        else prev_entries
+                    )
+                    if not pruned:
+                        continue
+                    base = self._read_with_deletes(
+                        spark, pruned, schema, prev_dels, snap=snap_u
+                    )
+                    dk = (
+                        spark.read.parquet(
+                            os.path.join(self.root, d["path"])
+                        )
+                        .select(
+                            *[
+                                F.col(p).alias(c)
+                                for p, c in zip(d["cols"], cur_cols)
+                            ]
+                        )
+                        .distinct()
+                    )
+                    parts.append(
+                        with_meta(
+                            base.join(F.broadcast(dk), cur_cols, "left_semi"),
+                            "delete",
+                            v,
+                        )
+                    )
+            prev_entries = cur_entries
+            prev_dels = cur_dels
+        meta_fields = schema.fields + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+        ]
+        if not parts:
+            return spark.createDataFrame([], T.StructType(meta_fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def files_df(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame:
@@ -1955,6 +2166,23 @@ class Table:
         keep = [e for e in entries if e["path"] not in paths]
         return hit, keep
 
+    def _capture_changes(
+        self, parts: list[tuple[DataFrame, str]], seq: int
+    ) -> str | None:
+        """Materialize CDC rows as change files — ``parts`` is a list of
+        ``(frame, change_type)`` — and return the manifest name (None
+        when every frame is empty).  Change files are invisible to scans
+        (only :meth:`scan_changes` reads them) but are GC-protected like
+        data files."""
+        entries = []
+        for df, ctype in parts:
+            es = self._materialize(df, partitioned=False)
+            for e in es:
+                e["change_type"] = ctype
+                e["seq"] = seq
+            entries.extend(es)
+        return self._write_manifest(entries) if entries else None
+
     def delete_where(
         self, spark: SparkSession, filters: list[tuple]
     ) -> int:
@@ -1977,12 +2205,16 @@ class Table:
         # a NEWER sequence, so the old tombstones would stop covering
         # them — dropping the rows now prevents resurrection).
         pred = _filters_to_column(filters)
-        survivors = self._read_with_deletes(
-            spark, hit, schema, deletes, snap=snap
-        ).where(~F.coalesce(pred, F.lit(False)))
+        rows = self._read_with_deletes(spark, hit, schema, deletes, snap=snap)
+        survivors = rows.where(~F.coalesce(pred, F.lit(False)))
         new_entries = self._materialize(survivors)
         for e in new_entries:
             e["seq"] = seq
+        change_manifest = None
+        if snap.get("change_feed"):
+            change_manifest = self._capture_changes(
+                [(rows.where(F.coalesce(pred, F.lit(False))), "delete")], seq
+            )
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
@@ -1993,6 +2225,11 @@ class Table:
                 "operation": "delete",
                 "schema": snap["schema"],
                 "manifests": manifests,
+                **(
+                    {"change_manifest": change_manifest}
+                    if change_manifest
+                    else {}
+                ),
                 "seq": seq,
                 "delete_manifests": self._live_delete_manifests(
                     keep + new_entries, snap.get("delete_manifests", [])
@@ -2050,6 +2287,17 @@ class Table:
         new_entries = self._materialize(rows.select(*cols))
         for e in new_entries:
             e["seq"] = seq
+        change_manifest = None
+        if snap.get("change_feed"):
+            change_manifest = self._capture_changes(
+                [
+                    (rows.where(pred), "update_preimage"),
+                    # filter BEFORE transforming: the SET may rewrite the
+                    # predicate's own column
+                    (rows.where(pred).select(*cols), "update_postimage"),
+                ],
+                seq,
+            )
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
@@ -2060,6 +2308,11 @@ class Table:
                 "operation": "update",
                 "schema": snap["schema"],
                 "manifests": manifests,
+                **(
+                    {"change_manifest": change_manifest}
+                    if change_manifest
+                    else {}
+                ),
                 "seq": seq,
                 "delete_manifests": self._live_delete_manifests(
                     keep + new_entries, snap.get("delete_manifests", [])
@@ -2216,6 +2469,8 @@ class Table:
         seq = self._seq_of(snap) + 1
         new_entries: list[dict] = []
         target_hit = None
+        change_parts: list[tuple[DataFrame, str]] = []
+        cdc = bool(snap.get("change_feed"))
         if hit:
             target_hit = self._read_with_deletes(
                 spark,
@@ -2234,6 +2489,24 @@ class Table:
                     "left_anti",
                 ).select(*pad)
                 new_entries.extend(self._materialize(survivors))
+                if cdc:
+                    hit_keys = target_hit.select(*key_cols).distinct()
+                    change_parts += [
+                        (
+                            target_hit.join(
+                                aligned_src.select(*key_cols).distinct(),
+                                key_cols,
+                                "left_semi",
+                            ).select(*pad),
+                            "update_preimage",
+                        ),
+                        (
+                            aligned_src.join(
+                                hit_keys, key_cols, "left_semi"
+                            ),
+                            "update_postimage",
+                        ),
+                    ]
             else:
                 # per-row outcome needs the matched PAIR: broadcast the
                 # (small) source onto the hit rows only — carried files
@@ -2273,12 +2546,35 @@ class Table:
                 new_entries.extend(
                     self._materialize(j.where(~dele).select(*out_cols))
                 )
+                if cdc:
+                    t_cols = [
+                        F.col(f"t.{f.name}").alias(f.name)
+                        for f in merged_fields
+                    ]
+                    s_cols = [
+                        F.col(f"s.{f.name}").alias(f.name)
+                        for f in merged_fields
+                    ]
+                    change_parts += [
+                        (j.where(upd).select(*t_cols), "update_preimage"),
+                        (j.where(upd).select(*s_cols), "update_postimage"),
+                        (j.where(dele).select(*t_cols), "delete"),
+                    ]
         elif evolve and len(merged_fields) > len(old_schema.fields):
             # schema grew but no files rewrite: carried files simply read
             # NULL for the new columns via the snapshot schema
             pass
         if not conditional:
             new_entries.extend(self._materialize(aligned_src))
+            if cdc:
+                ins = aligned_src
+                if target_hit is not None:
+                    ins = ins.join(
+                        target_hit.select(*key_cols).distinct(),
+                        key_cols,
+                        "left_anti",
+                    )
+                change_parts.append((ins, "insert"))
         else:
             # inserts = source keys matching NO target row among the hit
             # files (bounds pruning guarantees no match hides in a
@@ -2295,10 +2591,15 @@ class Table:
                     F.coalesce(F.expr(not_matched_condition), F.lit(False))
                 )
             new_entries.extend(self._materialize(ins))
+            if cdc:
+                change_parts.append((ins, "insert"))
         for e in new_entries:
             e["seq"] = seq
             if meta:
                 e["schema_id"] = meta["file_sid"]
+        change_manifest = (
+            self._capture_changes(change_parts, seq) if change_parts else None
+        )
         manifests = []
         if keep:
             manifests.append(self._write_manifest(keep))
@@ -2308,6 +2609,11 @@ class Table:
             "operation": "merge",
             "schema": schema_json,
             "manifests": manifests,
+            **(
+                {"change_manifest": change_manifest}
+                if change_manifest
+                else {}
+            ),
             "seq": seq,
             "delete_manifests": self._live_delete_manifests(
                 keep + new_entries, snap.get("delete_manifests", [])
@@ -2925,7 +3231,13 @@ class Table:
             snap = self._snapshot(v)
             live_manifests.update(snap["manifests"])
             live_manifests.update(snap.get("delete_manifests", []))
-            for e in self.entries(v) + self.delete_entries(v):
+            if snap.get("change_manifest"):
+                live_manifests.add(snap["change_manifest"])
+            for e in (
+                self.entries(v)
+                + self.delete_entries(v)
+                + self.change_entries(v)
+            ):
                 live_files.add(os.path.basename(e["path"]))
         for bname in self.list_branches():
             br = Table(self.root, branch=bname)
@@ -2933,8 +3245,12 @@ class Table:
                 bs = br._snapshot(h["version"])
                 live_manifests.update(bs["manifests"])
                 live_manifests.update(bs.get("delete_manifests", []))
-                for e in br.entries(h["version"]) + br.delete_entries(
-                    h["version"]
+                if bs.get("change_manifest"):
+                    live_manifests.add(bs["change_manifest"])
+                for e in (
+                    br.entries(h["version"])
+                    + br.delete_entries(h["version"])
+                    + br.change_entries(h["version"])
                 ):
                     live_files.add(os.path.basename(e["path"]))
         dropped = {"snapshots": 0, "manifests": 0, "data_files": 0}
@@ -2966,7 +3282,9 @@ class Table:
             for v in range((tip or 0) + 1):
                 if not os.path.exists(t._snapshot_path(v)):
                     continue
-                for e in t.entries(v) + t.delete_entries(v):
+                for e in (
+                    t.entries(v) + t.delete_entries(v) + t.change_entries(v)
+                ):
                     live.add(os.path.basename(e["path"]))
         now = time.time()
         removed = 0
