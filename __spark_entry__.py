@@ -2531,6 +2531,40 @@ def q_table_change_feed(spark, sf_dir):
     return t.scan_changes(spark, v1)
 
 
+def q_cdc_replication(spark, sf_dir):
+    """CDC replication (dff/cdc.py:apply_changes over
+    dff/tablefmt.py:scan_changes): documents flow into a change_feed
+    source table, a COW delete + update and a MOR delete mutate it, and
+    the feed replays into an independent target table commit-by-commit
+    (MOR writes only — the target never reads its own files).  The
+    returned target scan must equal the oracle's direct replay of the
+    same mutations; in-run assert pins target == source."""
+    import tempfile
+
+    from dff.cdc import apply_changes
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = tempfile.mkdtemp(prefix="dff-tbl-")
+    src = Table.create(base + "/src", d.schema, change_feed=True)
+    dst = Table.create(base + "/dst", d.schema)
+    src.append(d.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id"))
+    src.delete_where(spark, [("doc_id", "between", (100, 149))])
+    src.update_where(
+        spark, [("doc_id", "between", (200, 249))], {"lang": "'xx'"}
+    )
+    src.delete_matching_mor(
+        spark,
+        spark.createDataFrame([(300,), (301,)], "doc_id long"),
+        ["doc_id"],
+    )
+    apply_changes(spark, src, dst, ["doc_id"], since_version=0)
+    a = {tuple(r) for r in dst.scan(spark).collect()}
+    b = {tuple(r) for r in src.scan(spark).collect()}
+    assert a == b, "replica diverged from source"
+    return dst.scan(spark).select("doc_id", "lang", "n_chars")
+
+
 def q_table_widen_type(spark, sf_dir):
     """Type-widening evolution (dff/tablefmt.py:widen_column_type):
     even docs ingested with int32 n_chars, the column widens to bigint
@@ -2853,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_spec_evolution": q_table_spec_evolution,
         "table_schema_evolution": q_table_schema_evolution,
         "table_change_feed": q_table_change_feed,
+        "cdc_replication": q_cdc_replication,
         "table_widen_type": q_table_widen_type,
         "table_update_where": q_table_update_where,
         "table_merge_conditional": q_table_merge_conditional,
@@ -3531,6 +3566,16 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, lang, n_chars,
                    'delete', CAST(4 AS BIGINT)
             FROM documents WHERE doc_id IN (300, 301, 302)
+        """,
+        # CDC replication: the replica equals a direct replay of the ops
+        "cdc_replication": """
+            SELECT doc_id,
+                   CASE WHEN doc_id BETWEEN 200 AND 249
+                        THEN 'xx' ELSE lang END AS lang,
+                   n_chars
+            FROM documents
+            WHERE doc_id NOT BETWEEN 100 AND 149
+              AND doc_id NOT IN (300, 301)
         """,
         # type widening: old era int32, new era bigint, one logical column
         "table_widen_type": """
