@@ -371,3 +371,25 @@ def test_statsvalidate_across_rename_and_add(spark, tbl):
     # the not_null rule on the added column is decided from metadata
     pl = plan_stats_validation(tbl, [rules[1]])
     assert pl.files_scanned == 0
+
+
+def test_widen_bucket_partition_source_keeps_pruning(spark, tmp_path):
+    """bucket() hashes crc32(str(v)) — width-invariant, so widening the
+    partition-source column keeps both eras' files prunable."""
+    t = Table.create(
+        str(tmp_path / "wp"), WSCHEMA, partition_spec=[("k", "bucket", 8)]
+    )
+    t.append(wframe(spark, 0, 400))
+    t.widen_column_type("k", T.LongType())
+    t.append(
+        spark.range(400, 800).select(
+            F.col("id").alias("k"), F.lit("b").alias("v")
+        )
+    )
+    total = len(t.entries())
+    assert t.scan_file_count(filters=[("k", "=", 77)]) < total
+    assert t.scan_file_count(filters=[("k", "=", 700)]) < total
+    [r] = t.scan(spark, filters=[("k", "=", 77)]).collect()
+    assert r["v"] == "a77"
+    [r] = t.scan(spark, filters=[("k", "=", 700)]).collect()
+    assert r["v"] == "b"
