@@ -667,7 +667,9 @@ class Table:
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"v{version:08d}.json")
 
-    def _snapshot(self, version: int | None = None) -> dict:
+    def _snapshot(self, version: "int | str | None" = None) -> dict:
+        if isinstance(version, str):
+            version = self._resolve_tag(version)
         v = self._latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots under {self.meta_dir}")
@@ -675,6 +677,65 @@ class Table:
             snap = json.load(f)
         snap["version"] = v
         return snap
+
+    # -------------------------------------------------------------- tags
+    def _resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} (have {sorted(tags)})")
+        return tags[name]
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg tags): tag name -> version.  The
+        tip snapshot carries the ref registry; every ``version=`` API
+        accepts a tag name wherever it accepts a number."""
+        with open(self._snapshot_path(self._latest_version())) as f:
+            return dict(json.load(f).get("tags") or {})
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a name — a METADATA-ONLY commit (the ref
+        registry rides the tip).  Tagged snapshots and everything they
+        reference survive :meth:`expire_snapshots` until the tag drops —
+        the audit/repro primitive ('the snapshot the Q3 model trained
+        on') that version numbers alone can't provide once retention
+        kicks in."""
+        self._require_main("tag")
+        snap = self._snapshot()
+        v = snap["version"] if version is None else version
+        if not os.path.exists(self._snapshot_path(v)):
+            raise FileNotFoundError(f"no snapshot v{v} to tag")
+        tags = dict(snap.get("tags") or {})
+        if tags.get(name) == v:
+            return snap["version"]  # no-op
+        tags[name] = v
+        return self._commit(
+            {
+                "operation": "tag",
+                "schema": snap["schema"],
+                "manifests": list(snap["manifests"]),
+                "tags": tags,
+                "summary": {"tag": {name: v}},
+            },
+            expected_parent=snap["version"],
+        )
+
+    def drop_tag(self, name: str) -> int:
+        self._require_main("drop_tag")
+        snap = self._snapshot()
+        tags = dict(snap.get("tags") or {})
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        v = tags.pop(name)
+        return self._commit(
+            {
+                "operation": "drop-tag",
+                "schema": snap["schema"],
+                "manifests": list(snap["manifests"]),
+                "tags": tags,
+                "summary": {"drop_tag": {name: v}},
+            },
+            expected_parent=snap["version"],
+        )
 
     def history(self) -> list[dict]:
         """All snapshots, oldest first: version/operation/ts/summary."""
@@ -795,6 +856,9 @@ class Table:
                 snap["widen_history"] = parent["widen_history"]
             if "change_feed" not in snap and parent.get("change_feed"):
                 snap["change_feed"] = True
+            if "tags" not in snap and parent.get("tags"):
+                # the ref registry rides the tip across unrelated commits
+                snap["tags"] = parent["tags"]
             if "fields" not in snap and parent.get("fields"):
                 # derive field ids for this commit's schema from the
                 # parent: known names keep their id, new names (evolve
@@ -1816,7 +1880,7 @@ class Table:
         _SKIP = {
             "create", "branch", "compact", "optimize", "rewrite-manifests",
             "rename-column", "drop-column", "add-column", "widen-column",
-            "set-partition-spec",
+            "set-partition-spec", "tag", "drop-tag",
         }
         for v in range(since_version + 1, until + 1):
             s = self._snapshot(v)  # FileNotFoundError when expired
@@ -3225,6 +3289,12 @@ class Table:
             v -= 1
             if v < 0:
                 break
+        # tagged snapshots are pinned: a ref means someone needs that
+        # exact snapshot back (repro/audit), retention never eats it
+        keep_versions.update(
+            tv for tv in self.tags().values()
+            if os.path.exists(self._snapshot_path(tv))
+        )
         live_manifests: set[str] = set()
         live_files: set[str] = set()
         for v in keep_versions:

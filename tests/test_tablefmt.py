@@ -375,3 +375,34 @@ def test_apply_cdc_reconciles_to_target(spark, tbl):
     rows_before = {tuple(r) for r in got.collect()}
     apply_cdc(spark, tbl, new, ["k"], ["grp", "v"])
     assert {tuple(r) for r in tbl.scan(spark).collect()} == rows_before
+
+
+def test_tags_pin_snapshots(spark, tbl):
+    v1 = tbl.append(frame(spark, 0, 10), n_files=1)
+    tbl.tag("q3-train", v1)
+    tbl.overwrite(frame(spark, 100, 120), n_files=1)
+    # tag resolves everywhere a version number does
+    assert tbl.scan(spark, version="q3-train").count() == 10
+    assert tbl.tags() == {"q3-train": v1}
+    # retention never eats a tagged snapshot
+    dropped = tbl.expire_snapshots(keep_last=1)
+    assert dropped["snapshots"] >= 1
+    assert tbl.scan(spark, version="q3-train").count() == 10
+    assert tbl.scan(spark).count() == 20
+    # dropping the tag releases it for the next expiry
+    tbl.drop_tag("q3-train")
+    tbl.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        tbl._snapshot(v1)
+    with pytest.raises(KeyError):
+        tbl.scan(spark, version="q3-train")
+
+
+def test_tag_validation_and_noop(spark, tbl):
+    v1 = tbl.append(frame(spark, 0, 5), n_files=1)
+    with pytest.raises(FileNotFoundError):
+        tbl.tag("nope", 99)
+    tbl.tag("t", v1)
+    assert tbl.tag("t", v1) == tbl._latest_version()  # no-op re-tag
+    with pytest.raises(KeyError):
+        tbl.drop_tag("other")
