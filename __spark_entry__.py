@@ -2820,8 +2820,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   already has a green CORRECTNESS row on record (r3 or r4), except
     #   entries marked "new r5 late" below (added after the window filled;
     #   locally green under tools/check_oracle.py; rotate them in next
-    #   round).  Future rounds: rotate any entry whose latest green row is
-    #   >2 rounds old into the window.
+    #   round): day-partition / WAP / OPTIMIZE / MOR delete+merge /
+    #   distributed plan / spec evolution / SCHEMA evolution / change feed
+    #   / CDC replication / type widening / UPDATE WHERE / conditional
+    #   MERGE / bloom lookup.  Future rounds: rotate any entry whose
+    #   latest green row is >2 rounds old into the window.
     return {
         # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
         "ivf_incremental_full_probe": q_ivf_incremental_full_probe,
