@@ -406,3 +406,66 @@ def test_tag_validation_and_noop(spark, tbl):
     assert tbl.tag("t", v1) == tbl._latest_version()  # no-op re-tag
     with pytest.raises(KeyError):
         tbl.drop_tag("other")
+
+
+def test_concurrent_appends_no_lost_commits(spark, tbl):
+    """8 threads x 3 appends race on one table: optimistic rebase must
+    land every commit exactly once (no lost rows, no double rows,
+    strictly monotonic versions)."""
+    import threading
+
+    frames = {
+        (w, i): frame(spark, (w * 3 + i) * 100, (w * 3 + i) * 100 + 100)
+        for w in range(8)
+        for i in range(3)
+    }
+    errs = []
+
+    def worker(w):
+        try:
+            for i in range(3):
+                tbl.append(frames[(w, i)], n_files=1, max_retries=40)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((w, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = tbl.scan(spark)
+    assert got.count() == 8 * 3 * 100
+    assert got.select("k").distinct().count() == 8 * 3 * 100
+    ops = [h["operation"] for h in tbl.history()]
+    assert ops.count("append") == 24  # every commit landed exactly once
+
+
+def test_concurrent_mor_merges_converge(spark, tbl):
+    """4 threads race MOR merges on DISJOINT key ranges: merges are
+    additive (rebase-and-retry), so all must land and the final state is
+    the union of the last writes."""
+    import threading
+
+    tbl.append(frame(spark, 0, 400), n_files=2)
+    errs = []
+
+    def worker(w):
+        try:
+            src = frame(spark, w * 100, w * 100 + 100).withColumn(
+                "grp", F.lit(f"w{w}")
+            )
+            tbl.merge_upsert(spark, src, ["k"], mode="mor")
+        except Exception as e:  # pragma: no cover
+            errs.append((w, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = {r["k"]: r["grp"] for r in tbl.scan(spark).collect()}
+    assert len(got) == 400
+    for w in range(4):
+        assert got[w * 100 + 5] == f"w{w}"
