@@ -415,3 +415,212 @@ def stream_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Table as a streaming SOURCE (the read side of stream_to_table; the
+# native-format realization of Delta's `spark.readStream.format("delta")`)
+# ---------------------------------------------------------------------------
+
+# Commit operations that add rows ONLY through new data files: a
+# version-range scan_added over them is exactly the new rows.  "create"
+# is row-neutral (v0 never carries data files), which also guarantees no
+# scan range ever needs the nonexistent v-1 baseline.
+_APPEND_OPS = {"append", "publish", "overwrite"}
+# Layout / metadata commits: file sets may change (compaction rewrites
+# files without changing rows!) but the ROW set does not — a streaming
+# consumer must skip them, never scan_added across them.
+_NO_ROW_CHANGE_OPS = {
+    "create", "compact", "rewrite-manifests", "optimize", "tag", "drop-tag",
+    "set-partition-spec", "rename-column", "drop-column", "add-column",
+    "widen-column", "branch",
+}
+
+
+def stream_from_table(
+    spark,
+    table_root: str,
+    checkpoint_dir: str,
+    process: Callable[[DataFrame, dict], None],
+    mode: str = "append",
+    on_data_change: str = "raise",
+    max_versions_per_batch: int | None = None,
+) -> int:
+    """Tail a native-format table (:class:`dff.tablefmt.Table`) as a
+    micro-batch stream: each call drains every commit newer than the
+    checkpointed cursor, handing ``process(df, batch)`` one DataFrame per
+    version chunk, then atomically advances the cursor — the read-side
+    twin of :func:`stream_to_table` and the native realization of Delta's
+    ``spark.readStream.format("delta")`` / Iceberg's incremental-append
+    streaming read.  Returns the number of batches processed.
+
+    Why not a literal ``readStream``: Spark has no Python API for custom
+    streaming sources, so the micro-batch loop (poll the commit log,
+    planInputPartitions the new files, advance the offset log) is
+    realized directly — which is exactly what the DSv2 MicroBatchStream
+    for Delta/Iceberg does under the hood, with the commit log as the
+    offset log.
+
+    ``batch`` (second arg to ``process``) carries ``since`` / ``until``
+    (the version range), ``operations`` (the commit ops in range) and
+    ``idempotency_key`` (``table-src-<until>``, stable across crash
+    replays).  The cursor is committed AFTER ``process`` returns, so the
+    contract is at-least-once with whole-batch replay; a downstream
+    :meth:`Table.append`/``merge_upsert`` carrying the batch's
+    ``idempotency_key`` makes the chain exactly-once end-to-end (the
+    replay finds its key in the commit log and no-ops) — the same
+    crash-window closure ``stream_to_table`` uses, mirrored.
+
+    ``mode="append"`` (default) streams rows from append-family commits
+    (``append``/``publish``/``overwrite`` treated as inserts of the new
+    files) via per-range :meth:`Table.scan_added`; layout and metadata
+    commits (compaction, OPTIMIZE, schema/spec evolution, tags) are
+    skipped — their file churn is row-neutral, and scanning across a
+    compaction would re-deliver every compacted row.  Row-DELETING or
+    row-REWRITING commits (COW/MOR delete, update, merge, rollback)
+    cannot be represented as an append stream: ``on_data_change="raise"``
+    (default, Delta's behavior without ``skipChangeCommits``) raises with
+    the offending version; ``"skip"`` advances past them delivering
+    nothing (Delta's ``skipChangeCommits=true``).
+
+    ``mode="cdc"`` streams the row-level change feed instead — each batch
+    is :meth:`Table.scan_changes` over the range (``_change_type`` +
+    ``_commit_version`` columns), so deletes/updates/merges flow as
+    first-class events; COW mutations require the table created with
+    ``change_feed=True`` (scan_changes raises otherwise, at the
+    offending version).
+
+    ``max_versions_per_batch`` bounds how many commits one batch spans
+    (Delta's ``maxFilesPerTrigger`` analog): a consumer that fell a
+    month behind catches up in bounded-size steps instead of one scan
+    over the whole backlog.  At 10^12-file scale every step costs
+    O(files added in range) — manifest set-difference, no full listing.
+
+    A cursor AHEAD of the tip means the source table was rolled back or
+    recreated under the consumer; that raises — re-sync from a fresh
+    snapshot (drop the checkpoint) is the only sound recovery, as with
+    any offset log whose upstream rewound.
+    """
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from .tablefmt import Table
+
+    if mode not in ("append", "cdc"):
+        raise ValueError(f"mode must be 'append' or 'cdc', got {mode!r}")
+    if on_data_change not in ("raise", "skip"):
+        raise ValueError(
+            f"on_data_change must be 'raise' or 'skip', got {on_data_change!r}"
+        )
+    if max_versions_per_batch is not None and max_versions_per_batch < 1:
+        raise ValueError("max_versions_per_batch must be >= 1")
+
+    t = Table(table_root)
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    cursor_path = _os.path.join(checkpoint_dir, "cursor.json")
+
+    if _os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cursor = _json.load(f)["version"]
+    else:
+        cursor = -1  # deliver the table's full current contents first
+
+    hist = t.history()
+    if not hist:
+        return 0
+    tip = hist[-1]["version"]
+    if cursor > tip:
+        raise ValueError(
+            f"checkpoint cursor v{cursor} is ahead of the table tip v{tip} "
+            "(source rolled back or recreated) — drop the checkpoint and "
+            "re-sync from a fresh snapshot"
+        )
+    ops = {h["version"]: h["operation"] for h in hist}
+    if cursor >= 0 and cursor not in ops and cursor != tip:
+        # the cursor's snapshot expired: version-range reads from it are
+        # no longer answerable (retention ate the baseline manifest)
+        raise ValueError(
+            f"checkpoint cursor v{cursor} predates the table's retention "
+            "(snapshot expired) — re-sync from a fresh snapshot"
+        )
+
+    def _advance(to_version: int) -> None:
+        tmp = _os.path.join(
+            checkpoint_dir, f".cursor-{_uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as f:
+            _json.dump({"version": to_version}, f)
+        _os.replace(tmp, cursor_path)
+
+    pending = [v for v in sorted(ops) if v > cursor]
+    batches = 0
+    while pending:
+        # one batch = a bounded, homogeneous run of versions
+        chunk: list[int] = []
+        for v in pending:
+            if max_versions_per_batch and len(chunk) >= max_versions_per_batch:
+                break
+            op = ops[v]
+            if mode == "append":
+                row_neutral = op in _NO_ROW_CHANGE_OPS
+                appendish = op in _APPEND_OPS
+                if not (row_neutral or appendish):
+                    if on_data_change == "raise":
+                        raise ValueError(
+                            f"commit v{v} ({op!r}) deletes or rewrites rows; "
+                            "an append-mode stream cannot represent it — use "
+                            "mode='cdc' for the row-level feed, or "
+                            "on_data_change='skip' to ignore it"
+                        )
+                    row_neutral = True  # skip: advance past, deliver nothing
+                # overwrite replaces the row set; in append mode its files
+                # stream as inserts (Delta's skipChangeCommits reading) but
+                # it must START its own chunk so scan_added's set
+                # difference is against the pre-overwrite version exactly
+                if op == "overwrite" and chunk:
+                    break
+            chunk.append(v)
+        since = chunk[0] - 1
+        until = chunk[-1]
+        chunk_ops = [ops[v] for v in chunk]
+        if mode == "cdc":
+            # a fresh consumer's first chunk starts at v0 ("create", no
+            # rows): clamp the open lower bound to 0 — (0, until] is the
+            # same row set and v-1 has no snapshot to diff against
+            df = t.scan_changes(
+                spark, since_version=max(since, 0), until_version=until
+            )
+            deliver = True
+        else:
+            scan_versions = [v for v in chunk if ops[v] in _APPEND_OPS]
+            deliver = bool(scan_versions)
+            if any(ops[v] not in _APPEND_OPS for v in chunk) and scan_versions:
+                # mixed chunk: scan each append run against its own parent
+                # so a skipped compaction inside the range can't leak its
+                # rewritten files into the set difference
+                parts = [
+                    t.scan_added(spark, since_version=v - 1, until_version=v)
+                    for v in scan_versions
+                ]
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+            elif scan_versions:
+                df = t.scan_added(spark, since_version=since, until_version=until)
+            else:
+                df = None
+        if deliver and df is not None:
+            process(
+                df,
+                {
+                    "since": since,
+                    "until": until,
+                    "operations": chunk_ops,
+                    "idempotency_key": f"table-src-{until}",
+                },
+            )
+            batches += 1
+        _advance(until)
+        pending = pending[len(chunk):]
+    return batches

@@ -389,3 +389,208 @@ def test_stream_to_table_upsert_exactly_once(spark, tmp_path):
     t.merge_upsert(spark, upd, ["k"], mode="mor",
                    idempotency_key="stream-batch-1")
     assert t._latest_version() == v and t.scan(spark).count() == 550
+
+
+# ---------------------------------------------------------------- source side
+
+
+def _mk_table(spark, path, lo, hi, change_feed=False):
+    from dff.tablefmt import Table
+
+    df = spark.range(lo, hi).withColumnRenamed("id", "k")
+    t = Table.create(path, df.schema, change_feed=change_feed)
+    t.append(df, n_files=1)
+    return t
+
+
+def test_stream_from_table_drains_appends_once(spark, tmp_path):
+    from dff.streaming import stream_from_table
+    from dff.tablefmt import Table
+
+    root = str(tmp_path / "src")
+    t = _mk_table(spark, root, 0, 10)
+    t.append(spark.range(10, 15).withColumnRenamed("id", "k"), n_files=1)
+
+    batches: list[tuple] = []
+
+    def proc(df, b):
+        batches.append((b["since"], b["until"], sorted(r["k"] for r in df.collect())))
+
+    n = stream_from_table(spark, root, str(tmp_path / "ck"), proc)
+    assert n == 1
+    assert batches == [(-1, 2, list(range(15)))]
+    # cursor committed: a second drain delivers nothing
+    assert stream_from_table(spark, root, str(tmp_path / "ck"), proc) == 0
+    assert len(batches) == 1
+    # new commits deliver exactly the delta
+    t.append(spark.range(15, 17).withColumnRenamed("id", "k"), n_files=1)
+    assert stream_from_table(spark, root, str(tmp_path / "ck"), proc) == 1
+    assert batches[-1] == (2, 3, [15, 16])
+
+
+def test_stream_from_table_skips_compaction_rows(spark, tmp_path):
+    # compaction rewrites every file; a naive scan_added across it would
+    # re-deliver the whole table — the stream must surface only true rows
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    t = _mk_table(spark, root, 0, 10)
+    ck = str(tmp_path / "ck")
+    stream_from_table(spark, root, ck, lambda df, b: None)
+    t.append(spark.range(10, 13).withColumnRenamed("id", "k"), n_files=1)
+    t.compact(spark)
+    t.append(spark.range(13, 14).withColumnRenamed("id", "k"), n_files=1)
+
+    got: list = []
+    n = stream_from_table(
+        spark, root, ck, lambda df, b: got.extend(r["k"] for r in df.collect())
+    )
+    assert n == 1
+    assert sorted(got) == [10, 11, 12, 13]
+
+
+def test_stream_from_table_data_change_raises_then_skips(spark, tmp_path):
+    import pytest as _pytest
+
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    t = _mk_table(spark, root, 0, 10)
+    ck = str(tmp_path / "ck")
+    stream_from_table(spark, root, ck, lambda df, b: None)
+    t.delete_where(spark, [("k", "<", 3)])
+    with _pytest.raises(ValueError, match="deletes or rewrites"):
+        stream_from_table(spark, root, ck, lambda df, b: None)
+    # skip mode advances past it without delivering phantom rows
+    delivered: list = []
+    n = stream_from_table(
+        spark, root, ck,
+        lambda df, b: delivered.append(df.count()),
+        on_data_change="skip",
+    )
+    assert n == 0 and delivered == []
+    # and the cursor moved: the next append is the only thing delivered
+    t.append(spark.range(90, 92).withColumnRenamed("id", "k"), n_files=1)
+    got: list = []
+    stream_from_table(
+        spark, root, ck, lambda df, b: got.extend(r["k"] for r in df.collect())
+    )
+    assert sorted(got) == [90, 91]
+
+
+def test_stream_from_table_rate_limit_and_idempotency_keys(spark, tmp_path):
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    t = _mk_table(spark, root, 0, 4)
+    t.append(spark.range(4, 6).withColumnRenamed("id", "k"), n_files=1)
+    t.append(spark.range(6, 7).withColumnRenamed("id", "k"), n_files=1)
+
+    meta: list[dict] = []
+    n = stream_from_table(
+        spark, root, str(tmp_path / "ck"),
+        lambda df, b: meta.append(b),
+        max_versions_per_batch=1,
+    )
+    # v0 (create) delivers nothing; each append is its own batch
+    assert n == 3
+    assert [b["idempotency_key"] for b in meta] == [
+        "table-src-1", "table-src-2", "table-src-3",
+    ]
+
+
+def test_stream_from_table_crash_redelivers_same_batch(spark, tmp_path):
+    # cursor commits AFTER process returns: a crash inside process
+    # redelivers the identical range under the identical idempotency key,
+    # so an idempotent table sink downstream is exactly-once end-to-end
+    import pytest as _pytest
+
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t = _mk_table(spark, root, 0, 5)
+    stream_from_table(spark, root, ck, lambda df, b: None)
+    t.append(spark.range(5, 8).withColumnRenamed("id", "k"), n_files=1)
+
+    keys: list[str] = []
+
+    def boom(df, b):
+        keys.append(b["idempotency_key"])
+        raise RuntimeError("mid-batch crash")
+
+    with _pytest.raises(RuntimeError):
+        stream_from_table(spark, root, ck, boom)
+    replay: list[tuple] = []
+    stream_from_table(
+        spark, root, ck,
+        lambda df, b: replay.append((b["idempotency_key"], df.count())),
+    )
+    assert replay == [(keys[0], 3)]
+
+
+def test_stream_from_table_cdc_mode_streams_deletes(spark, tmp_path):
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    t = _mk_table(spark, root, 0, 6, change_feed=True)
+    t.delete_where(spark, [("k", ">=", 4)])
+    events: list[tuple] = []
+    n = stream_from_table(
+        spark, root, str(tmp_path / "ck"),
+        lambda df, b: events.extend(
+            (r["k"], r["_change_type"], r["_commit_version"]) for r in df.collect()
+        ),
+        mode="cdc",
+    )
+    assert n == 1
+    assert sorted(e for e in events if e[1] == "delete") == [
+        (4, "delete", 2), (5, "delete", 2),
+    ]
+    assert sorted(e[0] for e in events if e[1] == "insert") == list(range(6))
+
+
+def test_stream_from_table_cursor_ahead_of_tip_raises(spark, tmp_path):
+    import shutil
+
+    import pytest as _pytest
+
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t = _mk_table(spark, root, 0, 5)
+    t.append(spark.range(5, 6).withColumnRenamed("id", "k"), n_files=1)
+    stream_from_table(spark, root, ck, lambda df, b: None)
+    # recreate the table shorter than the consumed offset
+    shutil.rmtree(root)
+    _mk_table(spark, root, 0, 3)
+    with _pytest.raises(ValueError, match="ahead of the table tip"):
+        stream_from_table(spark, root, ck, lambda df, b: None)
+
+
+def test_stream_from_table_into_table_sink_exactly_once(spark, tmp_path):
+    # the composed story: source table -> stream_from_table -> append into
+    # a sink table under the batch idempotency key; a full replay after a
+    # lost cursor write lands zero duplicate rows
+    from dff.streaming import stream_from_table
+    from dff.tablefmt import Table
+
+    root = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    sink_root = str(tmp_path / "sink")
+    t = _mk_table(spark, root, 0, 8)
+
+    def copy_into_sink(df, b):
+        if not Table.exists(sink_root):
+            Table.create(sink_root, df.schema)
+        Table(sink_root).append(df, idempotency_key=b["idempotency_key"])
+
+    stream_from_table(spark, root, ck, copy_into_sink)
+    # simulate the crash window: cursor write lost AFTER the sink commit
+    import os
+
+    os.remove(os.path.join(ck, "cursor.json"))
+    stream_from_table(spark, root, ck, copy_into_sink)  # replays everything
+    out = Table(sink_root).scan(spark)
+    assert sorted(r["k"] for r in out.collect()) == list(range(8))
