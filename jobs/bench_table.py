@@ -232,6 +232,45 @@ def main() -> None:
         results["overwrite_sec"] / results["merge_sec"], 2
     )
 
+    # -- (4) streaming tail: stream_from_table cost is O(batch), not
+    # O(table) — a consumer caught up to the tip pays only the new
+    # commit's files to drain it, however big the table is.  Contrast
+    # with the non-incremental alternative (re-scan the whole table and
+    # pick the new rows out yourself).
+    from dff.streaming import stream_from_table
+
+    t = fresh_table("tail")
+    ck = tempfile.mkdtemp(prefix="dff-tailck-")
+    stream_from_table(spark, t.root, ck, lambda df, b: None)  # catch up
+    tail_runs, full_runs = [], []
+    delivered = 0
+    for i in range(args.repeats):
+        batch = delta.withColumn(
+            "row_id", F.col("row_id") + F.lit((i + 1) * 10 * n_src)
+        )
+        t.append(batch, n_files=1)
+        got: list[int] = []
+        t0 = time.perf_counter()
+        stream_from_table(
+            spark, t.root, ck,
+            lambda df, b: got.append(df.count()),
+        )
+        tail_runs.append(time.perf_counter() - t0)
+        delivered = sum(got)
+        assert delivered == n_delta, (delivered, n_delta)
+        t0 = time.perf_counter()
+        t.scan(spark).where(
+            F.col("row_id") >= (i + 1) * 10 * n_src
+        ).count()
+        full_runs.append(time.perf_counter() - t0)
+    shutil.rmtree(ck, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(t.root), ignore_errors=True)
+    results["tail_batch_rows"] = n_delta
+    results["tail_sec"] = round(min(tail_runs), 3)
+    results["tail_runs_sec"] = [round(r, 3) for r in tail_runs]
+    results["tail_vs_full_scan_sec"] = round(min(full_runs), 3)
+    results["tail_speedup"] = round(min(full_runs) / min(tail_runs), 2)
+
     out = os.path.join(REPO, "BENCH", "table_results.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "a") as f:
