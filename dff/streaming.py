@@ -425,8 +425,12 @@ def stream_to_table(
 # Commit operations that add rows ONLY through new data files: a
 # version-range scan_added over them is exactly the new rows.  "create"
 # is row-neutral (v0 never carries data files), which also guarantees no
-# scan range ever needs the nonexistent v-1 baseline.
-_APPEND_OPS = {"append", "publish", "overwrite"}
+# scan range ever needs the nonexistent v-1 baseline.  "overwrite" is
+# NOT here: it removes rows too, which an append stream cannot represent
+# — it takes the data-change path (raise, or skip entirely under
+# on_data_change="skip" — Delta's skipChangeCommits semantics; use
+# mode="cdc" to see it as deletes + inserts).
+_APPEND_OPS = {"append", "publish"}
 # Layout / metadata commits: file sets may change (compaction rewrites
 # files without changing rows!) but the ROW set does not — a streaming
 # consumer must skip them, never scan_added across them.
@@ -434,6 +438,13 @@ _NO_ROW_CHANGE_OPS = {
     "create", "compact", "rewrite-manifests", "optimize", "tag", "drop-tag",
     "set-partition-spec", "rename-column", "drop-column", "add-column",
     "widen-column", "branch",
+}
+# Row-neutral commits that change the READ schema: a batch is delivered
+# under its range's until-schema, so appends on either side of one of
+# these must land in separate batches (unioning a pre-rename scan with a
+# post-rename scan would mix column names).
+_SCHEMA_CHANGE_OPS = {
+    "rename-column", "drop-column", "add-column", "widen-column",
 }
 
 
@@ -472,16 +483,18 @@ def stream_from_table(
     crash-window closure ``stream_to_table`` uses, mirrored.
 
     ``mode="append"`` (default) streams rows from append-family commits
-    (``append``/``publish``/``overwrite`` treated as inserts of the new
-    files) via per-range :meth:`Table.scan_added`; layout and metadata
-    commits (compaction, OPTIMIZE, schema/spec evolution, tags) are
-    skipped — their file churn is row-neutral, and scanning across a
-    compaction would re-deliver every compacted row.  Row-DELETING or
-    row-REWRITING commits (COW/MOR delete, update, merge, rollback)
-    cannot be represented as an append stream: ``on_data_change="raise"``
-    (default, Delta's behavior without ``skipChangeCommits``) raises with
-    the offending version; ``"skip"`` advances past them delivering
-    nothing (Delta's ``skipChangeCommits=true``).
+    (``append``/``publish``) via per-range :meth:`Table.scan_added`;
+    layout and metadata commits (compaction, OPTIMIZE, schema/spec
+    evolution, tags) are skipped — their file churn is row-neutral, and
+    scanning across a compaction would re-deliver every compacted row
+    (a schema-changing metadata commit also closes its batch, so appends
+    on either side never union across column renames).  Row-DELETING or
+    row-REWRITING commits (COW/MOR delete, update, merge, overwrite,
+    rollback) cannot be represented as an append stream:
+    ``on_data_change="raise"`` (default, Delta's behavior without
+    ``skipChangeCommits``) raises with the offending version; ``"skip"``
+    advances past them delivering nothing (Delta's
+    ``skipChangeCommits=true``).
 
     ``mode="cdc"`` streams the row-level change feed instead — each batch
     is :meth:`Table.scan_changes` over the range (``_change_type`` +
@@ -574,13 +587,11 @@ def stream_from_table(
                             "on_data_change='skip' to ignore it"
                         )
                     row_neutral = True  # skip: advance past, deliver nothing
-                # overwrite replaces the row set; in append mode its files
-                # stream as inserts (Delta's skipChangeCommits reading) but
-                # it must START its own chunk so scan_added's set
-                # difference is against the pre-overwrite version exactly
-                if op == "overwrite" and chunk:
-                    break
             chunk.append(v)
+            if op in _SCHEMA_CHANGE_OPS:
+                # close the chunk: later appends read under the NEW
+                # schema and must not union with pre-change scans
+                break
         since = chunk[0] - 1
         until = chunk[-1]
         chunk_ops = [ops[v] for v in chunk]

@@ -594,3 +594,65 @@ def test_stream_from_table_into_table_sink_exactly_once(spark, tmp_path):
     stream_from_table(spark, root, ck, copy_into_sink)  # replays everything
     out = Table(sink_root).scan(spark)
     assert sorted(r["k"] for r in out.collect()) == list(range(8))
+
+
+def test_stream_from_table_overwrite_is_a_data_change(spark, tmp_path):
+    # overwrite removes rows; an append stream can't represent that —
+    # raise by default, skip entirely under on_data_change="skip"
+    # (Delta's skipChangeCommits), full events under mode="cdc"
+    import pytest as _pytest
+
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t = _mk_table(spark, root, 0, 4, change_feed=True)
+    stream_from_table(spark, root, ck, lambda df, b: None)
+    t.overwrite(spark.range(100, 102).withColumnRenamed("id", "k"))
+    with _pytest.raises(ValueError, match="deletes or rewrites"):
+        stream_from_table(spark, root, ck, lambda df, b: None)
+    got: list = []
+    n = stream_from_table(
+        spark, root, ck, lambda df, b: got.append(df.count()),
+        on_data_change="skip",
+    )
+    assert n == 0 and got == []
+    # a CDC consumer of the same table sees deletes + inserts
+    ck2 = str(tmp_path / "ck2")
+    events: list = []
+    stream_from_table(
+        spark, root, ck2,
+        lambda df, b: events.extend(
+            (r["k"], r["_change_type"]) for r in df.collect()
+        ),
+        mode="cdc",
+    )
+    assert sorted(e for e in events if e[1] == "delete") == [
+        (0, "delete"), (1, "delete"), (2, "delete"), (3, "delete"),
+    ]
+    assert sorted(e[0] for e in events if e[1] == "insert") == [
+        0, 1, 2, 3, 100, 101,
+    ]
+
+
+def test_stream_from_table_rename_splits_batches(spark, tmp_path):
+    # appends on either side of a column rename must not union across
+    # schemas: each batch reads under its own range's until-schema
+    from dff.streaming import stream_from_table
+
+    root = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t = _mk_table(spark, root, 0, 3)
+    stream_from_table(spark, root, ck, lambda df, b: None)
+    t.append(spark.range(3, 5).withColumnRenamed("id", "k"), n_files=1)
+    t.rename_column("k", "key")
+    t.append(spark.range(5, 6).withColumnRenamed("id", "key"), n_files=1)
+
+    batches: list[tuple] = []
+    n = stream_from_table(
+        spark, root, ck,
+        lambda df, b: batches.append((df.columns, sorted(r[0] for r in df.collect()))),
+    )
+    assert n == 2
+    assert batches[0] == (["k"], [3, 4])
+    assert batches[1] == (["key"], [5])
