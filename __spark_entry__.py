@@ -2761,6 +2761,41 @@ def q_table_bloom_lookup(spark, sf_dir):
     )
 
 
+def q_table_check_constraint(spark, sf_dir):
+    """Table CHECK constraints (dff/tablefmt.py add_check_constraint —
+    Delta's ALTER TABLE ADD CONSTRAINT): the rule-DAG predicate language
+    applied as a WRITE gate.  Load the n_chars>=100 documents, attach
+    that predicate as a constraint (metadata-only, existing rows proven),
+    then (a) a violating batch — n_chars forced to 1 — must raise and
+    commit NOTHING (asserted in-run), and (b) the clean remainder must
+    append normally.  Final contents therefore equal the plain ANSI
+    filter: every committed row satisfies the constraint by
+    construction of the gate, not of the query."""
+    import tempfile
+
+    from dff.tablefmt import CheckConstraintViolation, Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    clean = d.where(F.col("n_chars") >= 100)
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    t.append(clean.where(F.col("doc_id") % 2 == 0), n_files=1)
+    t.add_check_constraint(spark, "min_length", "n_chars >= 100")
+    tip = t._snapshot()["version"]
+    try:
+        t.append(
+            d.limit(50).withColumn(
+                "n_chars", F.lit(1).cast(dict(d.dtypes)["n_chars"])
+            ),
+            n_files=1,
+        )
+        raise AssertionError("violating batch must not commit")
+    except CheckConstraintViolation:
+        pass
+    assert t._snapshot()["version"] == tip  # nothing committed
+    t.append(clean.where(F.col("doc_id") % 2 == 1), n_files=1)
+    return t.scan(spark)
+
+
 def q_stats_prune_validation(spark, sf_dir):
     """Stats-only validation fast path (dff/statsvalidate.py): documents
     ingested as 8 doc_id-range-clustered files; three constraints —
@@ -2823,8 +2858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round): day-partition / WAP / OPTIMIZE / MOR delete+merge /
     #   distributed plan / spec evolution / SCHEMA evolution / change feed
     #   / CDC replication / type widening / UPDATE WHERE / conditional
-    #   MERGE / bloom lookup.  Future rounds: rotate any entry whose
-    #   latest green row is >2 rounds old into the window.
+    #   MERGE / bloom lookup / CHECK constraints.  Future rounds: rotate
+    #   any entry whose latest green row is >2 rounds old into the window.
     return {
         # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
         "ivf_incremental_full_probe": q_ivf_incremental_full_probe,
@@ -2895,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_update_where": q_table_update_where,
         "table_merge_conditional": q_table_merge_conditional,
         "table_bloom_lookup": q_table_bloom_lookup,
+        "table_check_constraint": q_table_check_constraint,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3541,6 +3577,13 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 're' AS lang, n_chars FROM documents
             WHERE doc_id % 21 = 3
+        """,
+        # CHECK constraint write gate: committed rows == the predicate's
+        # ANSI filter (the violating batch never became a snapshot)
+        "table_check_constraint": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE n_chars >= 100
         """,
         # bloom skipping: pruned point lookup == plain key replay
         "table_bloom_lookup": """

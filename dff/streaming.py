@@ -437,7 +437,7 @@ _APPEND_OPS = {"append", "publish"}
 _NO_ROW_CHANGE_OPS = {
     "create", "compact", "rewrite-manifests", "optimize", "tag", "drop-tag",
     "set-partition-spec", "rename-column", "drop-column", "add-column",
-    "widen-column", "branch",
+    "widen-column", "branch", "add-constraint", "drop-constraint",
 }
 # Row-neutral commits that change the READ schema: a batch is delivered
 # under its range's until-schema, so appends on either side of one of

@@ -79,6 +79,20 @@ class CommitConflict(Exception):
     """A concurrent writer committed a conflicting snapshot first."""
 
 
+class CheckConstraintViolation(Exception):
+    """A write produced rows that fail a table CHECK constraint.  The
+    staged files are unreferenced (no snapshot committed them) and are
+    reclaimed by ``gc_orphans``.  Carries ``violations``: constraint
+    name -> violating-row count."""
+
+    def __init__(self, violations: dict):
+        self.violations = dict(violations)
+        super().__init__(
+            "check constraint(s) violated by written rows: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(violations.items()))
+        )
+
+
 # --------------------------------------------------------------------------
 # filter triples — ONE predicate language evaluated twice: against manifest
 # stats (may-match, for pruning) and as a Catalyst Column (exact, on rows)
@@ -859,6 +873,11 @@ class Table:
             if "tags" not in snap and parent.get("tags"):
                 # the ref registry rides the tip across unrelated commits
                 snap["tags"] = parent["tags"]
+            if "check_constraints" not in snap and parent.get(
+                "check_constraints"
+            ):
+                # table CHECK constraints ride the tip like tags
+                snap["check_constraints"] = parent["check_constraints"]
             if "fields" not in snap and parent.get("fields"):
                 # derive field ids for this commit's schema from the
                 # parent: known names keep their id, new names (evolve
@@ -1033,6 +1052,7 @@ class Table:
                 raise ValueError(f"no column {old!r} (have {names})")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
+            self._refuse_constrained_column(snap, old, "rename")
             new_fields = [
                 {"id": fl["id"], "name": new if fl["name"] == old else fl["name"]}
                 for fl in fields
@@ -1097,6 +1117,7 @@ class Table:
                 raise ValueError(f"no column {name!r} (have {names})")
             if len(names) == 1:
                 raise ValueError("cannot drop the last column")
+            self._refuse_constrained_column(snap, name, "drop")
             for s in snap.get("partition_spec") or []:
                 if s.get("col") == name:
                     raise ValueError(
@@ -1291,6 +1312,119 @@ class Table:
             f"widen_column_type lost {max_retries} commit races"
         )
 
+    # ------------------------------------------------- CHECK constraints
+    @staticmethod
+    def _refuse_constrained_column(snap: dict, col: str, what: str) -> None:
+        """Schema changes must not orphan a CHECK predicate: a rename or
+        drop of a referenced column would leave the expression pointing
+        at a name that no longer exists (constraint exprs bind by NAME,
+        unlike data files which bind by field id)."""
+        from .compiler import referenced_identifiers
+
+        for cname, cexpr in (snap.get("check_constraints") or {}).items():
+            refs = {i.lower() for i in referenced_identifiers(cexpr)}
+            if col.lower() in refs:
+                raise ValueError(
+                    f"cannot {what} column {col!r}: referenced by check "
+                    f"constraint {cname!r} — drop the constraint first"
+                )
+
+    def check_constraints(self, version: int | None = None) -> dict:
+        """Active table CHECK constraints: name -> SQL predicate.  Every
+        row-writing path (append, overwrite, MERGE, UPDATE, COW rewrites)
+        enforces them on the rows it writes (Delta's ``ALTER TABLE ADD
+        CONSTRAINT`` semantics): a batch with a violating row raises
+        :class:`CheckConstraintViolation` and commits nothing."""
+        return dict(self._snapshot(version).get("check_constraints") or {})
+
+    def add_check_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        max_retries: int = 5,
+    ) -> int:
+        """Attach a CHECK constraint as a METADATA-ONLY commit — after
+        first proving the EXISTING rows satisfy it (one scan; Delta does
+        the same on ADD CONSTRAINT), so a reader can trust the invariant
+        over the whole table, not just post-add writes.  SQL-standard
+        semantics: a row violates only when the predicate is FALSE —
+        NULL passes (constrain nullability with an explicit
+        ``IS NOT NULL`` predicate).  The predicate is validated through
+        the rule compiler's identifier whitelist (columns + a bounded SQL
+        vocabulary, no ';'), the same guard user rule SQL goes through.
+
+        This is the table-format realization of the engine's rule DAG
+        for WRITE-time enforcement: the same predicate language, applied
+        as a commit gate instead of a scan-time report (the reference
+        runs its rules as post-hoc scoring, 02_dff_orchestration.py;
+        WAP branches audit whole batches — CHECK constraints guard every
+        individual write path)."""
+        import re as _re
+
+        from .compiler import validate_rule_sql
+
+        self._require_main("add_check_constraint")
+        if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+            raise ValueError(
+                f"constraint name must be an identifier, got {name!r}"
+            )
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            checks = dict(snap.get("check_constraints") or {})
+            if name in checks:
+                raise ValueError(f"constraint {name!r} already exists")
+            cols = [f["name"] for f in snap["schema"]["fields"]]
+            validate_rule_sql(expr, cols)
+            # prove the predicate parses AND holds on existing rows
+            existing = self.scan(spark, version=snap["version"])
+            n_bad = existing.where(
+                ~F.coalesce(F.expr(expr), F.lit(True))
+            ).count()
+            if n_bad:
+                raise CheckConstraintViolation({name: n_bad})
+            checks[name] = expr
+            commit = {
+                "operation": "add-constraint",
+                "schema": snap["schema"],
+                "manifests": list(snap["manifests"]),
+                "check_constraints": checks,
+                "summary": {"added_constraint": name},
+            }
+            try:
+                return self._commit(commit, expected_parent=snap["version"])
+            except CommitConflict:
+                continue  # re-validate against the mover's rows
+        raise CommitConflict(
+            f"add_check_constraint lost {max_retries} commit races"
+        )
+
+    def drop_check_constraint(self, name: str, max_retries: int = 5) -> int:
+        """Detach a CHECK constraint (metadata-only commit)."""
+        self._require_main("drop_check_constraint")
+        for _ in range(max_retries):
+            snap = self._snapshot()
+            checks = dict(snap.get("check_constraints") or {})
+            if name not in checks:
+                raise ValueError(
+                    f"no constraint {name!r} (have {sorted(checks)})"
+                )
+            del checks[name]
+            commit = {
+                "operation": "drop-constraint",
+                "schema": snap["schema"],
+                "manifests": list(snap["manifests"]),
+                "check_constraints": checks,
+                "summary": {"dropped_constraint": name},
+            }
+            try:
+                return self._commit(commit, expected_parent=snap["version"])
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"drop_check_constraint lost {max_retries} commit races"
+        )
+
     def _entry_partition_ok(
         self, e: dict, filters: list[tuple], specs: list[list]
     ) -> bool:
@@ -1318,6 +1452,32 @@ class Table:
         # partitioned=False marks auxiliary files (equality-delete
         # tombstones): no partition fanout, no bloom computation
         exists = self.exists(self.root)
+        checks = (
+            (self._snapshot().get("check_constraints") or {})
+            if partitioned and exists
+            else {}
+        )
+        obs = None
+        if checks:
+            # CHECK enforcement rides the write itself (CollectMetrics —
+            # zero extra scans): every data-row write path funnels here,
+            # so appends, MERGE outputs, UPDATE rewrites and COW
+            # survivors are all gated.  SQL semantics: only FALSE
+            # violates; NULL passes.  Raise happens after the stage
+            # write but BEFORE any commit references the files — a
+            # violating batch is invisible and gc_orphans reclaims it.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                *[
+                    F.sum(
+                        (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
+                    ).alias(n)
+                    for n, e in sorted(checks.items())
+                ],
+            )
         spec = self.partition_spec() if partitioned and exists else []
         bloom_cols = (
             (self._snapshot().get("bloom_cols") or [])
@@ -1383,6 +1543,13 @@ class Table:
                     )
                 )
         shutil.rmtree(stage, ignore_errors=True)
+        if obs is not None:
+            got = obs.get  # write finished; metrics are final
+            bad = {k: v for k, v in got.items() if v and v > 0}
+            if bad:
+                # staged files were already moved under data/ but no
+                # snapshot references them — invisible; GC reclaims
+                raise CheckConstraintViolation(bad)
         if exists:
             cur_sid = self._snapshot().get("schema_id")
             if cur_sid is not None:
@@ -1881,6 +2048,7 @@ class Table:
             "create", "branch", "compact", "optimize", "rewrite-manifests",
             "rename-column", "drop-column", "add-column", "widen-column",
             "set-partition-spec", "tag", "drop-tag",
+            "add-constraint", "drop-constraint",
         }
         for v in range(since_version + 1, until + 1):
             s = self._snapshot(v)  # FileNotFoundError when expired
@@ -3044,6 +3212,9 @@ class Table:
             # files, so the narrower history stays consistent); set even
             # when empty so _commit doesn't inherit the tip's
             "widen_history": old.get("widen_history", []),
+            # restored rows pair with the constraint set they satisfied
+            # (set even when empty so _commit doesn't inherit the tip's)
+            "check_constraints": old.get("check_constraints", {}),
             "summary": {"to_version": version},
         }
         if old.get("fields"):
@@ -3171,6 +3342,10 @@ class Table:
             # themselves stay main-only via _require_main)
             for k in ("fields", "next_field_id", "schema_id", "schemas"):
                 base[k] = snap[k]
+        if snap.get("check_constraints"):
+            # branch writes enforce main's CHECK gate too — a WAP batch
+            # must not be able to stage rows main could never accept
+            base["check_constraints"] = snap["check_constraints"]
         br._commit(base, expected_parent=None)
         return br
 
