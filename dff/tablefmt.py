@@ -917,14 +917,25 @@ class Table:
         snap["ts"] = time.time()
         path = self._snapshot_path(version)
         tmp = json.dumps(snap)
+        # write the full content to a hidden tmp, then hardlink to the
+        # final name: link(2) fails with EEXIST if a rival committed
+        # first (the same mutual exclusion O_EXCL create gives) AND the
+        # snapshot appears to readers fully written — a bare O_EXCL
+        # create+write exposes a visibility window where a concurrent
+        # _snapshot() reads an empty/partial file
+        tmp_path = os.path.join(
+            self.meta_dir, f".v{version}-{uuid.uuid4().hex}"
+        )
+        with open(tmp_path, "w") as f:
+            f.write(tmp)
         try:
-            # O_EXCL create: the entire concurrency story in one syscall
-            with open(path, "x") as f:
-                f.write(tmp)
+            os.link(tmp_path, path)
         except FileExistsError:
             raise CommitConflict(
                 f"version {version} already committed by another writer"
             )
+        finally:
+            os.unlink(tmp_path)
         hint_tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}")
         with open(hint_tmp, "w") as f:
             f.write(str(version))
@@ -1685,6 +1696,7 @@ class Table:
             fl["id"]: fl["name"]
             for fl in (self._snapshot().get("fields") or [])
         }
+        enforced_checks = self._snapshot().get("check_constraints") or {}
         entries = self._materialize(aligned, n_files, max_rows_per_file)
         summary = {
             "added_files": len(entries),
@@ -1697,6 +1709,19 @@ class Table:
         stamped_sid = None
         for _ in range(max_retries):
             snap = self._snapshot()
+            if not (
+                set((snap.get("check_constraints") or {}).items())
+                <= set(enforced_checks.items())
+            ):
+                # a constraint landed AFTER this batch was validated: the
+                # written rows never faced the new gate, so rebasing them
+                # in would smuggle unchecked rows past it.  (A concurrent
+                # DROP is fine — the batch passed a superset.)  The caller
+                # re-runs the append, now enforcing the tip's set.
+                raise CommitConflict(
+                    "check constraints changed concurrently; the written "
+                    "batch was not validated against them — retry the write"
+                )
             # rebase the commit schema onto the CURRENT tip: a concurrent
             # rename/drop must not be reverted by replaying names aligned
             # against the old tip.  The data files are untouched — their
@@ -2899,6 +2924,7 @@ class Table:
             for fl in (self._snapshot().get("fields") or [])
         }
         n_base = len(self._snapshot()["schema"]["fields"])
+        enforced_checks = self._snapshot().get("check_constraints") or {}
         del_entries = self._materialize(dk, n_files=1, partitioned=False)
         data_entries = self._materialize(aligned_src)
         stamped_seq = None
@@ -2906,6 +2932,16 @@ class Table:
         dm = data_manifest = None
         for _ in range(max_retries):
             snap = self._snapshot()
+            if not (
+                set((snap.get("check_constraints") or {}).items())
+                <= set(enforced_checks.items())
+            ):
+                # same rule as append: rows written before a concurrent
+                # ADD CONSTRAINT must not rebase past the new gate
+                raise CommitConflict(
+                    "check constraints changed concurrently; the written "
+                    "batch was not validated against them — retry the write"
+                )
             seq = self._seq_of(snap) + 1
             # evolve-added columns: mint field ids here (not in _commit)
             # so the data entries carry a schema id covering them

@@ -155,3 +155,45 @@ def test_branch_writes_inherit_constraints(spark, tmp_path):
     t.publish_branch("audit")
     t.drop_branch("audit")
     assert t.scan(spark).count() == 3
+
+
+def test_concurrent_constraint_add_defeats_rebase(spark, tmp_path, monkeypatch):
+    # the race: a batch is validated (no constraints yet), then a
+    # constraint lands BEFORE the batch's commit — the append's rebase
+    # must refuse to smuggle the unchecked rows past the new gate
+    t, schema = _tbl(spark, tmp_path)
+    orig = Table._materialize
+
+    state = {"fired": False}
+
+    def hooked(self, df, *a, **k):
+        entries = orig(self, df, *a, **k)
+        if not state["fired"]:
+            state["fired"] = True
+            Table(self.root).add_check_constraint(
+                spark, "n_positive", "n > 0"
+            )
+        return entries
+
+    monkeypatch.setattr(Table, "_materialize", hooked)
+    with pytest.raises(CommitConflict, match="constraints changed"):
+        t.append(spark.createDataFrame([(3, "rs", -5)], schema))
+    monkeypatch.setattr(Table, "_materialize", orig)
+    assert t.scan(spark).count() == 2  # nothing smuggled in
+    # the retry (caller-side) now faces the gate properly
+    with pytest.raises(CheckConstraintViolation):
+        t.append(spark.createDataFrame([(3, "rs", -5)], schema))
+    # a concurrent DROP is the benign direction: the batch passed a
+    # SUPERSET of the tip's constraints, so the rebase commits
+    state2 = {"fired": False}
+
+    def hooked_drop(self, df, *a, **k):
+        entries = orig(self, df, *a, **k)
+        if not state2["fired"]:
+            state2["fired"] = True
+            Table(self.root).drop_check_constraint("n_positive")
+        return entries
+
+    monkeypatch.setattr(Table, "_materialize", hooked_drop)
+    t.append(spark.createDataFrame([(4, "go", 7)], schema))
+    assert t.scan(spark).count() == 3
