@@ -2236,6 +2236,46 @@ def q_table_stream_sink(spark, sf_dir):
     return t.scan(spark).select("doc_id", "lang", "n_chars")
 
 
+def q_table_stream_source(spark, sf_dir):
+    """Table as a streaming SOURCE end-to-end (dff/streaming.py:
+    stream_from_table -> Table.append(idempotency_key=...)): the source
+    table takes three appends with a compaction between the last two; a
+    consumer tails the commit log into a sink table, stamping each batch
+    with its ``table-src-<until>`` idempotency key.  Then the cursor file
+    is deleted (the crash window) and the whole log re-drains — every
+    replayed batch finds its key in the sink's commit log and no-ops.
+    The sink must equal the source exactly: the compaction re-delivers
+    nothing (row-neutral layout commit), the replay duplicates nothing.
+    Native realization of Delta's readStream / Iceberg's incremental
+    append scan; the reference's closest surface is its batch-scored
+    orchestration loop (RUNME.py staging), re-expressed as a resumable
+    commit-log tail."""
+    import tempfile
+
+    from dff.streaming import stream_from_table
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/src", d.schema)
+    sink = Table.create(
+        tempfile.mkdtemp(prefix="dff-tbl-") + "/sink", d.schema
+    )
+    ckpt = tempfile.mkdtemp(prefix="dff-ck-")
+
+    def copy(df, batch):
+        sink.append(df, idempotency_key=batch["idempotency_key"])
+
+    src.append(d.where(F.col("doc_id") % 3 == 0), n_files=2)
+    stream_from_table(spark, src.root, ckpt, copy)  # drains commit 1
+    src.append(d.where(F.col("doc_id") % 3 == 1), n_files=2)
+    src.compact(spark)  # row-neutral: must deliver nothing
+    src.append(d.where(F.col("doc_id") % 3 == 2), n_files=2)
+    stream_from_table(spark, src.root, ckpt, copy)  # drains the rest
+    os.remove(os.path.join(ckpt, "cursor.json"))  # crash: cursor lost
+    stream_from_table(spark, src.root, ckpt, copy)  # full replay, no-ops
+    return sink.scan(spark)
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Fuzzy edit-distance self-join (dff/fuzzy.py): identifier-like
     strings derived from doc_id (planted 1-edit families: u007 / u007x /
@@ -2858,7 +2898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round): day-partition / WAP / OPTIMIZE / MOR delete+merge /
     #   distributed plan / spec evolution / SCHEMA evolution / change feed
     #   / CDC replication / type widening / UPDATE WHERE / conditional
-    #   MERGE / bloom lookup / CHECK constraints.  Future rounds: rotate
+    #   MERGE / bloom lookup / CHECK constraints / streaming source.
+    #   Future rounds: rotate
     #   any entry whose latest green row is >2 rounds old into the window.
     return {
         # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
@@ -2931,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_merge_conditional": q_table_merge_conditional,
         "table_bloom_lookup": q_table_bloom_lookup,
         "table_check_constraint": q_table_check_constraint,
+        "table_stream_source": q_table_stream_source,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3696,6 +3738,11 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # exactly-once stream sink: loss-free, duplication-free landing
         "table_stream_sink": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # streaming SOURCE tail + idempotent sink + crash replay: the
+        # drained sink must be exactly the source rows, once each
+        "table_stream_source": """
             SELECT doc_id, lang, n_chars FROM documents
         """,
         # SCD-2: LAG-suppress runs of equal attrs, LEAD-close intervals.
