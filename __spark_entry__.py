@@ -2276,6 +2276,43 @@ def q_table_stream_source(spark, sf_dir):
     return sink.scan(spark)
 
 
+def q_table_rollback_retention(spark, sf_dir):
+    """Rollback + retention + orphan GC on the table format
+    (dff/tablefmt.py:rollback/expire_snapshots/gc_orphans): a bad load
+    lands (doc_id % 3 == 2), ``rollback`` points the tip back at the good
+    snapshot as a NEW commit (history stays auditable), a corrective
+    append lands, a crashed writer's orphan data file is GC'd
+    (grace 0), and ``expire_snapshots(keep_last=2)`` drops time travel to
+    the bad era — while the kept rollback snapshot keeps the ORIGINAL
+    load's manifests alive through its reference (the retention edge this
+    gate exists to pin).  Final scan == good load + corrective load;
+    reading the expired version must raise (asserted in-run)."""
+    import tempfile
+
+    from dff.tablefmt import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = Table.create(tempfile.mkdtemp(prefix="dff-tbl-") + "/docs", d.schema)
+    v1 = t.append(d.where(F.col("doc_id") % 3 == 0), n_files=2)
+    v2 = t.append(d.where(F.col("doc_id") % 3 == 2), n_files=2)  # bad load
+    t.rollback(v1)
+    t.append(d.where(F.col("doc_id") % 3 == 1), n_files=2)
+    orphan = os.path.join(t.data_dir, "orphan-crashed-writer.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a committed file")
+    t.gc_orphans(grace_seconds=0.0)
+    assert not os.path.exists(orphan), "orphan survived gc_orphans"
+    t.expire_snapshots(keep_last=2)
+    try:
+        t.scan(spark, version=v2).count()
+        raise AssertionError("time travel to an expired snapshot succeeded")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # expired: any read error is the contract
+    return t.scan(spark)
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Fuzzy edit-distance self-join (dff/fuzzy.py): identifier-like
     strings derived from doc_id (planted 1-edit families: u007 / u007x /
@@ -2898,8 +2935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   round): day-partition / WAP / OPTIMIZE / MOR delete+merge /
     #   distributed plan / spec evolution / SCHEMA evolution / change feed
     #   / CDC replication / type widening / UPDATE WHERE / conditional
-    #   MERGE / bloom lookup / CHECK constraints / streaming source.
-    #   Future rounds: rotate
+    #   MERGE / bloom lookup / CHECK constraints / streaming source /
+    #   rollback+retention.  Future rounds: rotate
     #   any entry whose latest green row is >2 rounds old into the window.
     return {
         # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
@@ -2973,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_bloom_lookup": q_table_bloom_lookup,
         "table_check_constraint": q_table_check_constraint,
         "table_stream_source": q_table_stream_source,
+        "table_rollback_retention": q_table_rollback_retention,
         # --- core pillar (green r1-r4; also exercised by entry()) --------
         "rule_dag_verdict": q_rule_dag_verdict,
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
@@ -3744,6 +3782,12 @@ def _oracle_sql_base() -> dict[str, str]:
         # drained sink must be exactly the source rows, once each
         "table_stream_source": """
             SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # rollback undoes the bad load (% 3 == 2), the corrective append
+        # lands (% 3 == 1); retention + GC must not disturb either
+        "table_rollback_retention": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 3 IN (0, 1)
         """,
         # SCD-2: LAG-suppress runs of equal attrs, LEAD-close intervals.
         # LAG(TRUE) distinguishes "first row" from "previous attr NULL"
