@@ -2914,6 +2914,27 @@ def q_stats_prune_validation(spark, sf_dir):
     return validate_table_stats(spark, t, rules)
 
 
+def q_corpus_mixture(spark, sf_dir):
+    """Token-budget corpus mixture (dff/mixing.py): give src1 half of a
+    120%-of-pool char budget and src2/src3 a quarter each — src1 must
+    UP-sample (full epoch 0 + a hash-picked partial epoch 1), src2/src3
+    down-sample.  The whole derivation (exact BIGINT avail sums, integer
+    budget, fixed-order IEEE rate arithmetic, md5 epoch membership) is
+    replayed in DuckDB, so the sampled (doc_id, epoch) SET — mixture
+    multiplicity included — is value-hash-checked cross-engine."""
+    from dff.mixing import mixture_plan, mixture_sample
+
+    weights = {"src1": 0.5, "src2": 0.25, "src3": 0.25}
+    pool = _t(spark, sf_dir, "documents").where(F.col("source").isin(list(weights)))
+    total = pool.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
+    budget = (int(total) * 6) // 5  # 120% of the pool: forces upsampling
+    plan = mixture_plan(pool, "source", "n_chars", weights, budget, max_rate=4.0)
+    out = mixture_sample(pool, "source", ["doc_id"], plan, seed=11)
+    return out.select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3074,6 +3095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ivf_ann": q_ivf_ann,
+        # round-5-late addition (past the driver window; oracle-paired,
+        # local-mirror evidence): token-budget corpus mixture sampling
+        "corpus_mixture": q_corpus_mixture,
     }
 
 
@@ -4503,5 +4527,42 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM embeddings i CROSS JOIN
                      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q)
             WHERE rank <= 5
+        """,
+        # replays dff/mixing.py end to end: exact BIGINT avail/budget,
+        # the FIXED-order rate arithmetic (budget*w/wsum/avail, wsum the
+        # sorted-order weight sum = 1.0 here), floor/frac epoch split,
+        # and the md5(seed|epoch|doc_id) partial-epoch membership —
+        # bit-identical doubles, so the row SET hash-matches
+        "corpus_mixture": """
+            WITH pool AS (
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE source IN ('src1','src2','src3')
+            ), avail AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+              FROM pool GROUP BY source
+            ), budget AS (
+              SELECT (CAST(sum(n_chars) AS BIGINT) * 6) // 5 AS budget
+              FROM pool
+            ), plan AS (
+              SELECT a.source,
+                LEAST(CAST(b.budget AS DOUBLE)
+                        * (CASE a.source WHEN 'src1' THEN 0.5
+                                         WHEN 'src2' THEN 0.25
+                                         ELSE 0.25 END)
+                        / 1.0 / CAST(a.avail AS DOUBLE), 4.0) AS rate
+              FROM avail a, budget b
+            )
+            SELECT d.doc_id, d.source, t.epoch
+            FROM pool d
+            JOIN plan p ON p.source = d.source
+            CROSS JOIN generate_series(0, 3) t(epoch)
+            WHERE t.epoch < CAST(floor(p.rate) AS BIGINT)
+                            + CASE WHEN p.rate > floor(p.rate) THEN 1 ELSE 0 END
+              AND (t.epoch < CAST(floor(p.rate) AS BIGINT)
+                   OR CAST(('0x' || substr(md5(concat_ws('|', '11',
+                             CAST(t.epoch AS VARCHAR),
+                             CAST(d.doc_id AS VARCHAR))), 1, 15))
+                           AS BIGINT) / 1152921504606846976.0
+                      < p.rate - floor(p.rate))
         """,
     }
