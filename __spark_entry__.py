@@ -2935,6 +2935,29 @@ def q_corpus_mixture(spark, sf_dir):
     )
 
 
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing (dff/packing.py): documents hash into 4
+    independent token streams, a deterministic within-shard shuffle orders
+    them, and ONE running-sum window lays each doc at its stream offset —
+    start context, in-context offset, and boundary-crossing span are plain
+    arithmetic on that sum.  DuckDB replays the identical hash order and
+    window, so the ENTIRE layout (every doc's placement) value-hash-checks
+    cross-engine.  n_chars stands in for the token count (integral, so the
+    running sums are exact in both engines)."""
+    from dff.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_sequences(d, "n_chars", 256, ["doc_id"], n_shards=4, seed=4)
+    return out.select(
+        "doc_id",
+        "shard",
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("ctx_id").cast("long").alias("ctx_id"),
+        F.col("ctx_off").cast("long").alias("ctx_off"),
+        F.col("n_ctx").cast("long").alias("n_ctx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3095,9 +3118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ivf_ann": q_ivf_ann,
-        # round-5-late addition (past the driver window; oracle-paired,
-        # local-mirror evidence): token-budget corpus mixture sampling
+        # round-5-late additions (past the driver window; oracle-paired,
+        # local-mirror evidence): token-budget corpus mixture sampling +
+        # fixed-context sequence packing
         "corpus_mixture": q_corpus_mixture,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -4564,5 +4589,34 @@ def _oracle_sql_base() -> dict[str, str]:
                              CAST(d.doc_id AS VARCHAR))), 1, 15))
                            AS BIGINT) / 1152921504606846976.0
                       < p.rate - floor(p.rate))
+        """,
+        # replays dff/packing.py: same md5 stream hash, same shard split,
+        # same deterministic-shuffle ORDER BY (u, doc_id), same exclusive
+        # running sum — the whole packed layout hash-matches
+        "sequence_packing": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     CAST(('0x' || substr(md5(concat_ws('|', '4',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 AS u
+              FROM documents WHERE n_chars > 0
+            ), s AS (
+              SELECT doc_id, n_chars, u,
+                     CAST(floor(u * 4.0) AS INT) AS shard
+              FROM h
+            ), o AS (
+              SELECT doc_id, n_chars, shard,
+                     sum(n_chars) OVER (PARTITION BY shard ORDER BY u, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n_chars AS start_off
+              FROM s
+            )
+            SELECT doc_id, shard,
+                   CAST(start_off AS BIGINT) AS start_off,
+                   CAST(start_off // 256 AS BIGINT) AS ctx_id,
+                   CAST(start_off % 256 AS BIGINT) AS ctx_off,
+                   CAST((start_off + n_chars - 1) // 256
+                        - start_off // 256 + 1 AS BIGINT) AS n_ctx
+            FROM o
         """,
     }
