@@ -316,6 +316,34 @@ def main() -> None:
 
     bench_callable("text_ann_200k", _text_ann_200k)
 
+    # mixture -> packing at engine scale: split the 200k docs into 8
+    # domains, give d0 a 30% share of an 80%-of-corpus char budget
+    # (forces d0 to upsample via epochs while the rest downsample), then
+    # lay the sampled multiset into 4096-char contexts across 256 shards.
+    # One bounded plan agg + a map-only sample + ONE (key, n_chars)
+    # window shuffle — text moves only on the initial scan.
+    def _mixture_pack_200k():
+        from dff.mixing import mixture_plan, mixture_sample
+        from dff.packing import pack_sequences
+
+        d = docs_df.select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(8))).alias(
+                "domain"
+            ),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        weights = {f"d{i}": (0.3 if i == 0 else 0.1) for i in range(8)}
+        total = d.agg(F.sum("n_chars")).collect()[0][0]
+        plan = mixture_plan(d, "domain", "n_chars", weights, (int(total) * 4) // 5)
+        mixed = mixture_sample(d, "domain", ["doc_id"], plan, seed=13)
+        return pack_sequences(
+            mixed, "n_chars", 4096, ["doc_id", "epoch"], n_shards=256, seed=13
+        ).select("doc_id", "epoch", "shard", "start_off", "ctx_id", "n_ctx")
+
+    bench_callable("mixture_pack_200k", _mixture_pack_200k)
+
     import tempfile
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
