@@ -2958,6 +2958,22 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_violations(spark, sf_dir):
+    """SemDeDup-style semantic dedup self-check (dff/semdedup.py): cluster
+    embeddings with the bounded IVF trainer, apply the upper-triangular
+    drop rule, then re-derive every verdict by brute force over the SAME
+    cell assignment and report disagreements.  Must be empty on any input
+    (invariant-twin pattern: cells are engine-internal, so the oracle is
+    the empty set, like hll_rollup_violations); the drop rule itself is
+    pinned by pytest on planted duplicate vectors."""
+    from dff.semdedup import semantic_dedup_violations
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_violations(
+        e, "vec_id", "embedding", threshold=0.98, n_centroids=4
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3123,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-context sequence packing
         "corpus_mixture": q_corpus_mixture,
         "sequence_packing": q_sequence_packing,
+        "semantic_dedup_violations": q_semantic_dedup_violations,
     }
 
 
@@ -4618,5 +4635,13 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST((start_off + n_chars - 1) // 256
                         - start_off // 256 + 1 AS BIGINT) AS n_ctx
             FROM o
+        """,
+        # invariant twin (cells are engine-internal): the self-check must
+        # return zero disagreement rows on any input
+        "semantic_dedup_violations": """
+            SELECT CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS BOOLEAN) AS kept,
+                   CAST(NULL AS BOOLEAN) AS expected_kept
+            WHERE 1 = 0
         """,
     }

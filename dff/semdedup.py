@@ -1,0 +1,145 @@
+"""Semantic deduplication over embeddings (SemDeDup-style).
+
+Pairwise near-dup mining (:func:`dff.dedup.embedding_near_dup_pairs`)
+answers "which pairs are close"; corpus pruning needs the complement:
+ONE canonical survivor per semantic neighborhood.  The published recipe
+(SemDeDup, Abbas et al. 2023 — public paper) is: k-means-cluster the
+embeddings, compute within-cluster cosines, and drop every point whose
+similarity to any PRECEDING point in its cluster exceeds a threshold
+(the upper-triangular rule — a dropped point still shields later
+points, which is exactly what the reference implementation's
+upper-triangular max computes).
+
+Spark-first realization:
+
+- Clustering reuses :func:`dff.similarity.build_ivf_index` — centroid
+  training is a bounded deterministic sample on the driver, assignment
+  is one Arrow-batched pass; the SAME index can also serve ANN queries.
+- The within-cell upper-triangular test is a self-equi-join on ``cell``
+  with ``id_a < id_b`` and a Catalyst cosine expression — the quadratic
+  is bounded by cell size (cells shrink as ``n_centroids`` grows with
+  the corpus; SemDeDup used k ~ sqrt(n)).  Over-cap cells (degenerate
+  embedding mass) are exempted conservatively: their docs are KEPT and
+  flagged, never silently dropped (same convention as
+  :func:`dff.dedup.drop_hot_buckets`).
+- Output is the full assignment with a ``kept`` flag, so both the
+  pruned corpus (``kept``) and the audit trail (``NOT kept``) are one
+  filter away.
+
+Scale shape (100 TB): embeddings shuffle once (by cell); the join
+output above threshold is id pairs only.  At 10^9 docs with k=32k
+centroids, a cell holds ~30k docs — the in-cell join is ~450M cosine
+evaluations per cell spread across tasks, and the hot-cell cap bounds
+the worst case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dff.dedup import cosine_expr
+from dff.similarity import build_ivf_index
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    max_cell_size: int = 20000,
+) -> DataFrame:
+    """Assign every doc a cell and a ``kept`` verdict.
+
+    Returns ``(id_col, cell, kept, cell_capped)``: ``kept`` is false iff
+    some SAME-CELL doc with a smaller id has cosine >= ``threshold``
+    (the SemDeDup upper-triangular rule, deterministic given the
+    centroid training sample).  ``cell_capped`` marks docs in cells
+    larger than ``max_cell_size`` — those are exempted from the
+    quadratic test and kept conservatively.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    idx = build_ivf_index(df, n_centroids, item_id=id_col, emb=emb_col)
+    cells = idx.assigned.select(
+        F.col("item_id").alias("__id"), F.col("i_emb").alias("__emb"), "cell"
+    )
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    cells = cells.join(F.broadcast(sizes), "cell").withColumn(
+        "cell_capped", F.col("__n") > F.lit(int(max_cell_size))
+    )
+    small = cells.where(~F.col("cell_capped"))
+    x, y = small.alias("x"), small.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .where(
+            cosine_expr(F.col("x.__emb"), F.col("y.__emb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("y.__id").alias("__id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("__dropped", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+            "cell_capped",
+        )
+    )
+
+
+def semantic_dedup_violations(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Self-check gate: re-derive the verdicts from the SAME cell
+    assignment by brute force and report every disagreement —
+    (a) a kept doc that DOES have an earlier same-cell doc above
+    threshold, (b) a dropped doc that does NOT.  Must be empty on any
+    input; cross-engine the oracle is the empty set (the cells are
+    engine-internal, so this is the invariant-twin pattern used for
+    IVF/HLL gates)."""
+    idx = build_ivf_index(df, n_centroids, item_id=id_col, emb=emb_col)
+    cells = idx.assigned.select(
+        F.col("item_id").alias("__id"), F.col("i_emb").alias("__emb"), "cell"
+    )
+    x, y = cells.alias("x"), cells.alias("y")
+    has_earlier = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .where(
+            cosine_expr(F.col("x.__emb"), F.col("y.__emb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("y.__id").alias("__id"))
+        .distinct()
+        .withColumn("__has_earlier", F.lit(True))
+    )
+    verdicts = semantic_dedup(
+        df, id_col, emb_col, threshold=threshold, n_centroids=n_centroids
+    ).select(F.col(id_col).alias("__id"), "kept", "cell_capped")
+    joined = verdicts.join(has_earlier, "__id", "left").withColumn(
+        "__expect_kept",
+        F.col("cell_capped") | F.col("__has_earlier").isNull(),
+    )
+    return (
+        joined.where(F.col("kept") != F.col("__expect_kept"))
+        .select(
+            F.col("__id").alias(id_col),
+            "kept",
+            F.col("__expect_kept").alias("expected_kept"),
+        )
+    )
