@@ -344,6 +344,18 @@ def main() -> None:
 
     bench_callable("mixture_pack_200k", _mixture_pack_200k)
 
+    # semantic dedup at engine scale: 100k 64-d vectors, 64 IVF cells
+    # (~1.5k vectors/cell keeps the within-cell quadratic at ~75M cosine
+    # evaluations total, spread across tasks; embeddings shuffle once)
+    def _semantic_dedup_100k():
+        from dff.semdedup import semantic_dedup
+
+        return semantic_dedup(
+            emb_df, "vec_id", "embedding", threshold=0.97, n_centroids=64
+        )
+
+    bench_callable("semantic_dedup_100k", _semantic_dedup_100k)
+
     import tempfile
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -15,28 +15,36 @@ Spark-first realization:
 - Clustering reuses :func:`dff.similarity.build_ivf_index` — centroid
   training is a bounded deterministic sample on the driver, assignment
   is one Arrow-batched pass; the SAME index can also serve ANN queries.
-- The within-cell upper-triangular test is a self-equi-join on ``cell``
-  with ``id_a < id_b`` and a Catalyst cosine expression — the quadratic
-  is bounded by cell size (cells shrink as ``n_centroids`` grows with
-  the corpus; SemDeDup used k ~ sqrt(n)).  Over-cap cells (degenerate
-  embedding mass) are exempted conservatively: their docs are KEPT and
-  flagged, never silently dropped (same convention as
+- The within-cell upper-triangular test runs per cell inside ONE
+  ``applyInPandas`` pass: rows sort by id, the gram matrix is computed
+  in BLAS column blocks (memory bounded at ``cell × block``), and a doc
+  drops iff its column max over PRECEDING rows reaches the threshold.
+  A Catalyst per-pair cosine was measured as the wrong realization here
+  — per-pair higher-order-function evaluation is ~100× slower than one
+  matmul per cell (same lesson as the hashing-vectorizer shootout,
+  dff/vectorize.py).  The quadratic is bounded by cell size (cells
+  shrink as ``n_centroids`` grows with the corpus; SemDeDup used
+  k ~ sqrt(n)).  Over-cap cells (degenerate embedding mass) are
+  exempted conservatively: their docs are KEPT and flagged, never
+  silently dropped (same convention as
   :func:`dff.dedup.drop_hot_buckets`).
 - Output is the full assignment with a ``kept`` flag, so both the
   pruned corpus (``kept``) and the audit trail (``NOT kept``) are one
   filter away.
 
-Scale shape (100 TB): embeddings shuffle once (by cell); the join
-output above threshold is id pairs only.  At 10^9 docs with k=32k
-centroids, a cell holds ~30k docs — the in-cell join is ~450M cosine
-evaluations per cell spread across tasks, and the hot-cell cap bounds
-the worst case.
+Scale shape (100 TB): embeddings shuffle exactly once (by cell); the
+per-cell task does O(cell² · dim) BLAS flops with O(cell · block)
+memory, and the hot-cell cap bounds the worst case.  At 10^9 docs with
+k=32k centroids a cell holds ~30k docs — one ~2-second matmul task.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dff.dedup import cosine_expr
 from dff.similarity import build_ivf_index
@@ -70,19 +78,35 @@ def semantic_dedup(
         "cell_capped", F.col("__n") > F.lit(int(max_cell_size))
     )
     small = cells.where(~F.col("cell_capped"))
-    x, y = small.alias("x"), small.alias("y")
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .where(
-            cosine_expr(F.col("x.__emb"), F.col("y.__emb"))
-            >= F.lit(float(threshold))
-        )
-        .select(F.col("y.__id").alias("__id"))
-        .distinct()
+
+    id_type = cells.schema["__id"].dataType
+    out_schema = T.StructType([T.StructField("__id", id_type)])
+    tau = float(threshold)
+
+    def _dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one cell: sort by id, normalized gram matrix in column blocks,
+        # drop column j iff max over rows i<j reaches tau
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pdf.iloc[0:0][["__id"]]
+        E = np.stack(pdf["__emb"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine defined as 0
+        E = E / norms[:, None]
+        drop = np.zeros(n, dtype=bool)
+        block = 1024
+        rows = np.arange(n)
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            S = E[:e] @ E[s:e].T  # (e, e-s); memory bounded at n x block
+            mask = rows[:e, None] < np.arange(s, e)[None, :]
+            S = np.where(mask, S, -np.inf)
+            drop[s:e] = S.max(axis=0) >= tau
+        return pdf.loc[drop, ["__id"]]
+
+    dropped = small.select("cell", "__id", "__emb").groupBy("cell").applyInPandas(
+        _dropped, schema=out_schema
     )
     return (
         cells.join(dropped.withColumn("__dropped", F.lit(True)), "__id", "left")
@@ -103,10 +127,12 @@ def semantic_dedup_violations(
     n_centroids: int = 16,
 ) -> DataFrame:
     """Self-check gate: re-derive the verdicts from the SAME cell
-    assignment by brute force and report every disagreement —
-    (a) a kept doc that DOES have an earlier same-cell doc above
-    threshold, (b) a dropped doc that does NOT.  Must be empty on any
-    input; cross-engine the oracle is the empty set (the cells are
+    assignment via an INDEPENDENT realization — a Catalyst self-join with
+    the per-pair cosine expression (fine at gate-table scale; the
+    production path is the blocked BLAS pass) — and report every
+    disagreement: (a) a kept doc that DOES have an earlier same-cell doc
+    above threshold, (b) a dropped doc that does NOT.  Must be empty on
+    any input; cross-engine the oracle is the empty set (the cells are
     engine-internal, so this is the invariant-twin pattern used for
     IVF/HLL gates)."""
     idx = build_ivf_index(df, n_centroids, item_id=id_col, emb=emb_col)
