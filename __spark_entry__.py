@@ -2996,7 +2996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   distributed plan / spec evolution / SCHEMA evolution / change feed
     #   / CDC replication / type widening / UPDATE WHERE / conditional
     #   MERGE / bloom lookup / CHECK constraints / streaming source /
-    #   rollback+retention.  Future rounds: rotate
+    #   rollback+retention / corpus mixture / sequence packing / semantic
+    #   dedup.  Future rounds: rotate
     #   any entry whose latest green row is >2 rounds old into the window.
     return {
         # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
