@@ -4642,7 +4642,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "semantic_dedup_violations": """
             SELECT CAST(NULL AS BIGINT) AS vec_id,
                    CAST(NULL AS BOOLEAN) AS kept,
-                   CAST(NULL AS BOOLEAN) AS expected_kept
+                   CAST(NULL AS DOUBLE) AS max_earlier_cosine
             WHERE 1 = 0
         """,
     }

@@ -61,6 +61,20 @@ topologically-ordered, vectorized Catalyst expressions over DataFrames:
 - ``dff.projection`` persistable PCA basis for embedding columns (pyspark.ml
                      + array plumbing); recall-measured dim reduction for ANN.
 - ``dff.env``        host-environment session helpers (capacity-gated tmpfs spill).
+- ``dff.tablefmt``   native log-structured table format: snapshots, branches
+                     (WAP), hidden partitioning, MOR deletes, schema/spec
+                     evolution, CDC feed, CHECK constraints, streaming source.
+- ``dff.cdc``        change-data-feed replication consumer (idempotent apply).
+- ``dff.scd``        SCD type-2 interval builder.
+- ``dff.fuzzy``      edit-distance self-join (FastSS deletion neighborhoods).
+- ``dff.statsvalidate`` stats-only validation: manifest min/max/null decide
+                     files without scanning; only undecidable pairs scanned.
+- ``dff.mixing``     token-budget corpus mixture: weight spec + budget ->
+                     per-domain rates; epoch-explode upsampling, map-only.
+- ``dff.packing``    sequence packing: sharded deterministic shuffle + one
+                     running-sum window lays docs into fixed-len contexts.
+- ``dff.semdedup``   SemDeDup semantic dedup: IVF cells + per-cell blocked
+                     BLAS upper-triangular cosine drop rule.
 
 Everything hot-path is pyspark.sql expressions (whole-stage codegen); Python
 appears only inside Arrow-batched pandas UDFs. No per-row Python anywhere.

@@ -43,7 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TWO60 = float(1 << 60)
+from dff.sampling import uniform_hash
 
 
 @dataclass(frozen=True)
@@ -125,18 +125,10 @@ def mixture_plan(
 
 def _epoch_hash(seed: int, epoch_col: str, key_cols: list[str]) -> Column:
     """Uniform [0,1) from (seed, epoch, row key) — the dff/sampling.py
-    md5 predicate with the epoch folded in, so each partial epoch picks
-    an independent uniform subset of the domain."""
-    payload = F.concat_ws(
-        "|",
-        F.lit(str(seed)),
-        F.col(epoch_col).cast("string"),
-        *[F.col(c).cast("string") for c in key_cols],
-    )
-    return (
-        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
-        / F.lit(_TWO60)
-    )
+    md5 predicate with the epoch folded in as the first key column, so
+    each partial epoch picks an independent uniform subset of the
+    domain.  Payload = seed|epoch|keys, exactly what the oracle replays."""
+    return uniform_hash([epoch_col, *key_cols], seed)
 
 
 def mixture_sample(

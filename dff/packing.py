@@ -32,17 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_TWO60 = float(1 << 60)
-
-
-def _stream_hash(key_cols: list[str], seed: int):
-    payload = F.concat_ws(
-        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
-    )
-    return (
-        F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
-        / F.lit(_TWO60)
-    )
+from dff.sampling import uniform_hash
 
 
 def pack_sequences(
@@ -74,7 +64,8 @@ def pack_sequences(
         raise ValueError(f"seq_len must be > 0, got {seq_len}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be > 0, got {n_shards}")
-    h = _stream_hash(key_cols, seed)
+    # the dff/sampling.py md5 contract: same expression, same DuckDB replay
+    h = uniform_hash(key_cols, seed)
     base = (
         df.where(F.col(token_col).cast("long") > 0)
         .withColumn("__h", h)

@@ -69,10 +69,28 @@ def semantic_dedup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    idx = build_ivf_index(df, n_centroids, item_id=id_col, emb=emb_col)
-    cells = idx.assigned.select(
+    cells = _assign_cells(df, id_col, emb_col, n_centroids)
+    return _verdicts_from_cells(cells, id_col, threshold, max_cell_size)
+
+
+def _assign_cells(
+    df: DataFrame, id_col: str, emb_col: str, n_centroids: int
+) -> DataFrame:
+    """One cell assignment, PERSISTED: verdict derivation reads it at
+    least three times (size agg, in-cell pass, final join) and the
+    violations gate adds a self-join — without the persist each consumer
+    re-runs the Arrow assignment UDF over the full scan."""
+    idx = build_ivf_index(
+        df, n_centroids, item_id=id_col, emb=emb_col, persist=True
+    )
+    return idx.assigned.select(
         F.col("item_id").alias("__id"), F.col("i_emb").alias("__emb"), "cell"
     )
+
+
+def _verdicts_from_cells(
+    cells: DataFrame, id_col: str, threshold: float, max_cell_size: int
+) -> DataFrame:
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
     cells = cells.join(F.broadcast(sizes), "cell").withColumn(
         "cell_capped", F.col("__n") > F.lit(int(max_cell_size))
@@ -125,47 +143,51 @@ def semantic_dedup_violations(
     emb_col: str,
     threshold: float = 0.95,
     n_centroids: int = 16,
+    max_cell_size: int = 20000,
+    eps: float = 1e-9,
 ) -> DataFrame:
     """Self-check gate: re-derive the verdicts from the SAME cell
-    assignment via an INDEPENDENT realization — a Catalyst self-join with
-    the per-pair cosine expression (fine at gate-table scale; the
-    production path is the blocked BLAS pass) — and report every
-    disagreement: (a) a kept doc that DOES have an earlier same-cell doc
-    above threshold, (b) a dropped doc that does NOT.  Must be empty on
-    any input; cross-engine the oracle is the empty set (the cells are
-    engine-internal, so this is the invariant-twin pattern used for
-    IVF/HLL gates)."""
-    idx = build_ivf_index(df, n_centroids, item_id=id_col, emb=emb_col)
-    cells = idx.assigned.select(
-        F.col("item_id").alias("__id"), F.col("i_emb").alias("__emb"), "cell"
-    )
+    assignment (built exactly once — two independent builds could train
+    on different LIMIT-ordered samples and disagree legitimately) via an
+    INDEPENDENT realization — a Catalyst self-join with the per-pair
+    cosine expression (fine at gate-table scale; the production path is
+    the blocked BLAS pass) — and report every disagreement: (a) a kept
+    doc whose max earlier same-cell cosine is CLEARLY above threshold,
+    (b) a dropped doc whose max is CLEARLY below.  "Clearly" = outside
+    ``±eps`` of the threshold: the two realizations (normalize-then-
+    matmul vs fold dot/(na·nb)) can disagree in the last ulps exactly AT
+    the boundary, so boundary pairs are indeterminate by construction,
+    not violations.  Must be empty on any input; cross-engine the oracle
+    is the empty set (cells are engine-internal — the invariant-twin
+    pattern used for IVF/HLL gates)."""
+    cells = _assign_cells(df, id_col, emb_col, n_centroids)
+    verdicts = _verdicts_from_cells(cells, id_col, threshold, max_cell_size)
     x, y = cells.alias("x"), cells.alias("y")
-    has_earlier = (
+    max_earlier = (
         x.join(
             y,
             (F.col("x.cell") == F.col("y.cell"))
             & (F.col("x.__id") < F.col("y.__id")),
         )
-        .where(
-            cosine_expr(F.col("x.__emb"), F.col("y.__emb"))
-            >= F.lit(float(threshold))
+        .groupBy(F.col("y.__id").alias("__id"))
+        .agg(
+            F.max(cosine_expr(F.col("x.__emb"), F.col("y.__emb"))).alias(
+                "__maxc"
+            )
         )
-        .select(F.col("y.__id").alias("__id"))
-        .distinct()
-        .withColumn("__has_earlier", F.lit(True))
     )
-    verdicts = semantic_dedup(
-        df, id_col, emb_col, threshold=threshold, n_centroids=n_centroids
-    ).select(F.col(id_col).alias("__id"), "kept", "cell_capped")
-    joined = verdicts.join(has_earlier, "__id", "left").withColumn(
-        "__expect_kept",
-        F.col("cell_capped") | F.col("__has_earlier").isNull(),
+    tau = float(threshold)
+    joined = verdicts.select(
+        F.col(id_col).alias("__id"), "kept", "cell_capped"
+    ).join(max_earlier, "__id", "left")
+    clearly_dup = F.col("__maxc") >= F.lit(tau + eps)
+    clearly_unique = F.col("__maxc").isNull() | (
+        F.col("__maxc") < F.lit(tau - eps)
     )
-    return (
-        joined.where(F.col("kept") != F.col("__expect_kept"))
-        .select(
-            F.col("__id").alias(id_col),
-            "kept",
-            F.col("__expect_kept").alias("expected_kept"),
-        )
+    bad_kept = F.col("kept") & ~F.col("cell_capped") & clearly_dup
+    bad_dropped = ~F.col("kept") & clearly_unique
+    return joined.where(bad_kept | bad_dropped).select(
+        F.col("__id").alias(id_col),
+        "kept",
+        F.col("__maxc").alias("max_earlier_cosine"),
     )

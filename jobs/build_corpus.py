@@ -137,6 +137,11 @@ def main(argv: list[str] | None = None) -> dict:
         n_contaminated = bad.count()
         surv = surv.join(bad, "doc_id", "left_anti")
 
+    # everything downstream (pool agg, plan agg, sample, append) re-reads
+    # the survivors: persist once so the quality/dedup/decontam stages run
+    # a single time instead of once per consumer
+    surv = surv.persist()
+
     # 4. MIXTURE — budget as a fraction of the surviving pool's chars.
     if args.weights:
         weights = {k: float(v) for k, v in json.loads(args.weights).items()}
@@ -187,12 +192,16 @@ def main(argv: list[str] | None = None) -> dict:
         version = t.publish_branch(branch)
     t.drop_branch(branch)
 
+    # aggregate over the MATERIALIZED branch delta (a parquet read of the
+    # just-written files), not the lazy `packed` lineage — the latter would
+    # re-run the whole pipeline one more time
     n_ctx_total = (
-        packed.groupBy("shard")
+        delta.groupBy("shard")
         .agg(F.max(F.col("ctx_id") + F.col("n_ctx")).alias("c"))
         .agg(F.sum("c"))
         .collect()[0][0]
     )
+    surv.unpersist()
     out = {
         "rows_raw": n_raw,
         "rows_quality": n_quality,
