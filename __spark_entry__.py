@@ -2974,6 +2974,26 @@ def q_semantic_dedup_violations(spark, sf_dir):
     )
 
 
+def q_context_fill_stats(spark, sf_dir):
+    """Per-context fill report over the sequence_packing layout
+    (dff/packing.py::context_fill): for every (shard, ctx_id) a document
+    starts in, how many start there and the tokens they contribute to
+    that context (clipped at the boundary).  Pure arithmetic on the
+    packed layout, so DuckDB replays the whole chain — hash order,
+    running sum, clipping, grouping — and the report value-hash-checks."""
+    from dff.packing import context_fill, pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "n_chars", 256, ["doc_id"], n_shards=4, seed=4)
+    out = context_fill(packed, "n_chars", 256)
+    return out.select(
+        "shard",
+        F.col("ctx_id").cast("long").alias("ctx_id"),
+        F.col("docs_starting").cast("long").alias("docs_starting"),
+        F.col("tokens_started_here").cast("long").alias("tokens_started_here"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3140,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-context sequence packing
         "corpus_mixture": q_corpus_mixture,
         "sequence_packing": q_sequence_packing,
+        "context_fill_stats": q_context_fill_stats,
         "semantic_dedup_violations": q_semantic_dedup_violations,
     }
 
@@ -4636,6 +4657,36 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST((start_off + n_chars - 1) // 256
                         - start_off // 256 + 1 AS BIGINT) AS n_ctx
             FROM o
+        """,
+        # replays pack_sequences AND context_fill: same layout CTEs, then
+        # per-(shard, start-context) doc counts and boundary-clipped token
+        # contributions
+        "context_fill_stats": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     CAST(('0x' || substr(md5(concat_ws('|', '4',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 AS u
+              FROM documents WHERE n_chars > 0
+            ), s AS (
+              SELECT doc_id, n_chars, u,
+                     CAST(floor(u * 4.0) AS INT) AS shard
+              FROM h
+            ), o AS (
+              SELECT doc_id, n_chars, shard,
+                     sum(n_chars) OVER (PARTITION BY shard ORDER BY u, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n_chars AS start_off
+              FROM s
+            )
+            SELECT shard,
+                   CAST(start_off // 256 AS BIGINT) AS ctx_id,
+                   count(*) AS docs_starting,
+                   CAST(sum(least(n_chars,
+                                  256 - (start_off % 256))) AS BIGINT)
+                     AS tokens_started_here
+            FROM o
+            GROUP BY shard, start_off // 256
         """,
         # invariant twin (cells are engine-internal): the self-check must
         # return zero disagreement rows on any input
