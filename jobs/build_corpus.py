@@ -6,7 +6,9 @@ by the engine itself:
 
   1. QUALITY   — rule-DAG audit over derived text-quality columns
                  (length, quality score, repetition); violating docs drop.
-  2. DEDUP     — exact content dedup (xxhash64 groupBy, min-id survivor).
+  2. DEDUP     — exact content dedup (xxhash64 groupBy, min-id survivor),
+                 then OPTIONAL semantic dedup (dff/semdedup.py) when an
+                 embeddings table is supplied.
   3. DECONTAM  — optional 3-gram benchmark-overlap anti-join.
   4. MIXTURE   — token-budget domain mixing (dff/mixing.py): weights +
                  budget -> per-domain rates, epochs upsample.
@@ -75,6 +77,10 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--benchmark", help="eval-set parquet (doc_id, text) to "
                     "decontaminate against")
+    ap.add_argument("--embeddings", help="embeddings parquet (vec_id, "
+                    "embedding) keyed like doc_id: enables semantic dedup")
+    ap.add_argument("--semantic-threshold", type=float, default=0.95)
+    ap.add_argument("--semantic-centroids", type=int, default=16)
     ap.add_argument("--min-chars", type=int, default=20)
     ap.add_argument("--max-violation-rate", type=float, default=0.0)
     ap.add_argument("--parallelism", type=int, default=None)
@@ -121,9 +127,27 @@ def main(argv: list[str] | None = None) -> dict:
     )
     n_quality = clean.count()
 
-    # 2. DEDUP — exact content survivors (min doc_id per text hash).
+    # 2. DEDUP — exact content survivors (min doc_id per text hash),
+    # then semantic pruning over their embeddings when supplied.
     surv = dedup_exact(clean, "text", "doc_id")
     n_dedup = surv.count()
+    n_semantic_dropped = 0
+    if args.embeddings:
+        from dff.semdedup import semantic_dedup
+
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        verd = semantic_dedup(
+            surv.select("doc_id").join(emb, "doc_id"),  # survivors' vectors only
+            "doc_id",
+            "embedding",
+            threshold=args.semantic_threshold,
+            n_centroids=args.semantic_centroids,
+        )
+        drops = verd.where(~F.col("kept")).select("doc_id")
+        n_semantic_dropped = drops.count()
+        surv = surv.join(drops, "doc_id", "left_anti")
 
     # 3. DECONTAM — optional benchmark-overlap anti-join.
     n_contaminated = 0
@@ -206,6 +230,7 @@ def main(argv: list[str] | None = None) -> dict:
         "rows_raw": n_raw,
         "rows_quality": n_quality,
         "rows_dedup": n_dedup,
+        "rows_semantic_dropped": n_semantic_dropped,
         "rows_contaminated": n_contaminated,
         "budget_chars": budget,
         "mixture": {

@@ -42,23 +42,46 @@ def corpus_src(spark, tmp_path):
     bench = df.where(F.col("doc_id") == 30).select("doc_id", "text")
     bench_p = str(tmp_path / "bench")
     bench.write.parquet(bench_p)
-    return src, bench_p, str(tmp_path / "tbl")
+
+    # embeddings: well-spread pseudo-random unit vectors per doc, with
+    # docs 50/51 sharing a vector -> semantic dedup must drop 51
+    import math
+
+    def vec(i):
+        if i == 51:
+            i = 50
+        raw = []
+        for j in range(8):
+            x = math.sin(i * 12.9898 + j * 78.233) * 43758.5453
+            raw.append((x - math.floor(x)) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in raw))
+        return [x / n for x in raw]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(400)], ["vec_id", "embedding"]
+    )
+    emb_p = str(tmp_path / "emb")
+    emb.write.parquet(emb_p)
+    return src, bench_p, emb_p, str(tmp_path / "tbl")
 
 
 def test_full_build_publishes_consistent_layout(spark, corpus_src):
     import build_corpus
 
-    src, bench_p, t_root = corpus_src
+    src, bench_p, emb_p, t_root = corpus_src
     out = build_corpus.main([
         "--src", src, "--out", t_root,
         "--budget-frac", "0.8", "--seq-len", "64", "--n-shards", "4",
         "--benchmark", bench_p, "--min-chars", "20",
+        "--embeddings", emb_p, "--semantic-threshold", "0.999",
+        "--semantic-centroids", "4",
         "--parallelism", "4", "--seed", "5",
     ])
     assert json.loads(json.dumps(out))  # one JSON-able summary
     assert out["published"] and out["version"] is not None
     assert out["rows_quality"] == 399          # doc 7 dropped by Q2
     assert out["rows_dedup"] == 398            # doc 21 collapsed into 20
+    assert out["rows_semantic_dropped"] == 1   # doc 51 shares 50's vector
     assert out["rows_contaminated"] >= 1       # doc 30 replays the benchmark
     assert out["layout_violations"] == 0
     t = Table(t_root)
@@ -66,6 +89,7 @@ def test_full_build_publishes_consistent_layout(spark, corpus_src):
     assert packed.count() == out["rows_packed"] > 0
     ids = {r["doc_id"] for r in packed.select("doc_id").distinct().collect()}
     assert 7 not in ids and 21 not in ids and 30 not in ids
+    assert 51 not in ids and 50 in ids  # semantic: later twin out, earlier in
     # layout invariants hold on the PUBLISHED table, not just pre-commit
     bad = packed.where(
         (F.col("start_off") < 0)
@@ -80,7 +104,7 @@ def test_full_build_publishes_consistent_layout(spark, corpus_src):
 def test_everything_filtered_is_safe(spark, corpus_src):
     import build_corpus
 
-    src, bench_p, t_root = corpus_src
+    src, bench_p, emb_p, t_root = corpus_src
     out = build_corpus.main([
         "--src", src, "--out", t_root + "2",
         "--min-chars", "100000",  # quality gate drops every doc
