@@ -2994,6 +2994,32 @@ def q_context_fill_stats(spark, sf_dir):
     )
 
 
+def q_mixture_summary_stats(spark, sf_dir):
+    """Achieved-vs-target mixture report (dff/mixing.py::mixture_summary)
+    over the corpus_mixture derivation: per domain, picked rows, picked
+    char mass, the planned target, and the achieved fraction.  The whole
+    chain — exact avail/budget ints, fixed-order rate doubles, epoch
+    membership, and the final ratio — replays in DuckDB; doubles are
+    rounded through the DECIMAL idiom on the oracle side so both engines
+    hash the same 6-decimal values."""
+    from dff.mixing import mixture_plan, mixture_sample, mixture_summary
+
+    weights = {"src1": 0.5, "src2": 0.25, "src3": 0.25}
+    pool = _t(spark, sf_dir, "documents").where(F.col("source").isin(list(weights)))
+    total = pool.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
+    budget = (int(total) * 6) // 5
+    plan = mixture_plan(pool, "source", "n_chars", weights, budget, max_rate=4.0)
+    mixed = mixture_sample(pool, "source", ["doc_id"], plan, seed=11)
+    out = mixture_summary(mixed, "source", "n_chars", plan)
+    return out.select(
+        "source",
+        "picked_rows",
+        "picked_weight",
+        F.round("target_weight", 6).alias("target_weight"),
+        F.round("achieved_frac", 6).alias("achieved_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3159,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-mirror evidence): token-budget corpus mixture sampling +
         # fixed-context sequence packing
         "corpus_mixture": q_corpus_mixture,
+        "mixture_summary_stats": q_mixture_summary_stats,
         "sequence_packing": q_sequence_packing,
         "context_fill_stats": q_context_fill_stats,
         "semantic_dedup_violations": q_semantic_dedup_violations,
@@ -4628,6 +4655,59 @@ def _oracle_sql_base() -> dict[str, str]:
                              CAST(d.doc_id AS VARCHAR))), 1, 15))
                            AS BIGINT) / 1152921504606846976.0
                       < p.rate - floor(p.rate))
+        """,
+        # corpus_mixture's derivation + the per-domain achieved-vs-target
+        # rollup (dff/mixing.py::mixture_summary); target = budget*w/wsum
+        # (NOT divided by avail), achieved = picked/target, both rounded
+        # through the DECIMAL idiom to 6 decimals
+        "mixture_summary_stats": """
+            WITH pool AS (
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE source IN ('src1','src2','src3')
+            ), avail AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+              FROM pool GROUP BY source
+            ), budget AS (
+              SELECT (CAST(sum(n_chars) AS BIGINT) * 6) // 5 AS budget
+              FROM pool
+            ), plan AS (
+              SELECT a.source,
+                CAST(b.budget AS DOUBLE)
+                  * (CASE a.source WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.25
+                                   ELSE 0.25 END) / 1.0 AS target,
+                LEAST(CAST(b.budget AS DOUBLE)
+                        * (CASE a.source WHEN 'src1' THEN 0.5
+                                         WHEN 'src2' THEN 0.25
+                                         ELSE 0.25 END)
+                        / 1.0 / CAST(a.avail AS DOUBLE), 4.0) AS rate
+              FROM avail a, budget b
+            ), picked AS (
+              SELECT d.doc_id, d.source, d.n_chars
+              FROM pool d
+              JOIN plan p ON p.source = d.source
+              CROSS JOIN generate_series(0, 3) t(epoch)
+              WHERE t.epoch < CAST(floor(p.rate) AS BIGINT)
+                              + CASE WHEN p.rate > floor(p.rate)
+                                     THEN 1 ELSE 0 END
+                AND (t.epoch < CAST(floor(p.rate) AS BIGINT)
+                     OR CAST(('0x' || substr(md5(concat_ws('|', '11',
+                               CAST(t.epoch AS VARCHAR),
+                               CAST(d.doc_id AS VARCHAR))), 1, 15))
+                             AS BIGINT) / 1152921504606846976.0
+                        < p.rate - floor(p.rate))
+            )
+            SELECT k.source,
+                   count(*) AS picked_rows,
+                   CAST(sum(k.n_chars) AS BIGINT) AS picked_weight,
+                   CAST(round(CAST(p.target AS DECIMAL(28,12)), 6)
+                        AS DOUBLE) AS target_weight,
+                   CAST(round(CAST(CAST(CAST(sum(k.n_chars) AS BIGINT)
+                                        AS DOUBLE) / p.target
+                                   AS DECIMAL(28,12)), 6)
+                        AS DOUBLE) AS achieved_frac
+            FROM picked k JOIN plan p ON p.source = k.source
+            GROUP BY k.source, p.target
         """,
         # replays dff/packing.py: same md5 stream hash, same shard split,
         # same deterministic-shuffle ORDER BY (u, doc_id), same exclusive
