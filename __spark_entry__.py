@@ -1240,23 +1240,35 @@ def q_training_corpus_pipeline(spark, sf_dir):
     12/3 context-window chunking -> deterministic 50% content-hash
     sample.  Every stage is a dff primitive; the WHOLE chain stays one
     Catalyst plan whose exchanges carry only 8-byte gram hashes, doc ids,
-    and the pre-shuffle-pruned dedup window (WindowGroupLimit ships one
-    candidate row per (partition, text-hash)); chunk text never enters an
-    exchange.  Plan note: the dedup-survivor subtree is evaluated on both
-    sides of the decontamination anti-join — a long-lived pipeline
-    persists `surv` to collapse the double scan (ValidationResult does
-    exactly that for the rule pass).  Final chunk rows hash-check against
-    a DuckDB replay of the entire five-stage pipeline."""
+    and (r6) the hash-compressed dedup's duplicated-hash aggregation —
+    full text never enters an exchange at all now.  r6 plan surgery
+    (results bit-identical, proven against the frozen oracle):
+
+    - ``dedup_exact`` is hash-compressed (dff/dedup.py): the old plan
+      shuffled every row's text by sha2(text) through a window, TWICE
+      (once per side of the decontamination anti-join).
+    - ``bad`` is computed over ``corpus`` instead of ``surv``: a doc's
+      contamination verdict depends only on its own grams, so
+      ``surv ⟕anti bad(corpus) == surv ⟕anti bad(surv)`` (the extra ids
+      in ``bad(corpus)`` are rows the anti join's left side never
+      contains) — and the two big subtrees become independent instead of
+      one being evaluated inside the other.
+    - the single-split sf-dir scan is widened first (widen_if_narrow) so
+      gram hashing / chunk building use every core; at real scale the
+      input carries more splits than cores and this is a no-op.
+
+    Final chunk rows hash-check against a DuckDB replay of the entire
+    five-stage pipeline."""
     from dff.contamination import contaminated_docs
-    from dff.dedup import dedup_exact
+    from dff.dedup import dedup_exact, widen_if_narrow
     from dff.sampling import hash_sample
     from dff.textops import chunk_documents
 
-    d = _t(spark, sf_dir, "documents")
+    d = widen_if_narrow(_t(spark, sf_dir, "documents"))
     bench = d.where(F.col("doc_id") % 37 == 0)
     corpus = d.where((F.col("doc_id") % 37 != 0) & (F.col("n_chars") >= 50))
     surv = dedup_exact(corpus, "text", "doc_id")
-    bad = contaminated_docs(surv, bench, "doc_id", "text", n=3).select("doc_id")
+    bad = contaminated_docs(corpus, bench, "doc_id", "text", n=3).select("doc_id")
     clean = surv.join(bad, "doc_id", "left_anti")
     chunks = chunk_documents(clean, "doc_id", "text", size=12, overlap=3)
     return hash_sample(chunks, ["doc_id", "chunk_id"], 0.5, seed=21).select(

@@ -129,6 +129,10 @@ def main(argv: list[str] | None = None) -> dict:
 
     # 2. DEDUP — exact content survivors (min doc_id per text hash),
     # then semantic pruning over their embeddings when supplied.
+    # `clean` is an expensive derived frame (rule DAG + anti join) and the
+    # hash-compressed dedup_exact (r6) evaluates its input lineage up to
+    # three times — persist it for the dedup passes, release right after.
+    clean = clean.persist()
     surv = dedup_exact(clean, "text", "doc_id")
     n_dedup = surv.count()
     n_semantic_dropped = 0
@@ -174,6 +178,7 @@ def main(argv: list[str] | None = None) -> dict:
         weights = {s: 1.0 for s in srcs}  # bounded: one row per domain
     pool = surv.where(F.col("source").isin(list(weights)))
     total = pool.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0] or 0
+    clean.unpersist()  # surv's cache is filled now; clean is dead weight
     budget = int(int(total) * args.budget_frac)
     plan = mixture_plan(pool, "source", "n_chars", weights, budget)
     mixed = mixture_sample(pool, "source", ["doc_id"], plan, seed=args.seed)
