@@ -770,7 +770,11 @@ def q_bm25_scores(spark, sf_dir):
 
 
 def q_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6: widen the single-split scan so the split/trim work spreads over
+    # the cores (no-op when the input is already wide)
+    from dff.dedup import widen_if_narrow
+
+    d = widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         whitespace_token_count("text").alias("ws_tokens"),
@@ -843,8 +847,13 @@ def q_js_drift(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     """Heuristic language ID distribution (rows-only would hide regressions;
-    the marker hit-count is reproducible in SQL, so it IS oracle-checked)."""
-    d = _t(spark, sf_dir, "documents")
+    the marker hit-count is reproducible in SQL, so it IS oracle-checked).
+    r6: the sf-dir documents table is a single parquet split, so the
+    regex scoring — the entire cost — ran on one core; widen first (a
+    no-op when the input already carries >= cores splits)."""
+    from dff.dedup import widen_if_narrow
+
+    d = widen_if_narrow(_t(spark, sf_dir, "documents").select("text"))
     return d.groupBy(lang_id("text").alias("lid")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -99,29 +99,67 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
-    tf = term_frequencies(docs, id_col, text_col, pattern)
-    # per-doc length (total tokens) from tf itself — no second text scan
-    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
-    consts = doclen.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+
+    # r6 realization (guide §2.3/§2.4 — remove the shuffle outright): the
+    # query-term set is BOUNDED, so per-doc term frequencies are plain
+    # array expressions over the token array — ``size(filter(tokens,
+    # t == term))`` per term — and the per-doc length is the token-array
+    # size; nothing ever explodes and no (doc, term) exchange exists.
+    # Corpus constants (N, avgdl) and per-term document frequencies ride
+    # ONE bounded single-row aggregation that broadcasts via crossJoin.
+    # The old explode -> groupBy(doc, term) -> three-way-join plan
+    # shuffled every token of every document to score a 3-term query.
+    from .dedup import widen_if_narrow
+
+    toks = F.split(F.lower(F.col(text_col)), pattern)
+    arr = F.filter(toks, lambda t: t != "")
+    dl = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(arr)
+    ).cast("long")
+    tf_cols = [
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.filter(arr, lambda t: t == F.lit(term))))
+        .cast("long")
+        .alias(f"__tf_{i}")
+        for i, term in enumerate(terms)
+    ]
+    base = widen_if_narrow(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), dl.alias("__dl"), *tf_cols
     )
-    qtf = tf.where(F.col("term").isin(terms))
-    qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        qtf.join(F.broadcast(qdf), "term")
-        .join(doclen, id_col)
-        .crossJoin(F.broadcast(consts))
+    # one row: N (docs with >= 1 token), avgdl, df per query term
+    stats = base.agg(
+        F.count(F.when(F.col("__dl") > 0, F.lit(1))).alias("__n"),
+        F.avg(F.when(F.col("__dl") > 0, F.col("__dl"))).alias("__avgdl"),
+        *[
+            F.count(F.when(F.col(f"__tf_{i}") > 0, F.lit(1))).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
-    )
-    return scored.groupBy(id_col).agg(
-        F.sum(idf * tf_part).alias("bm25"),
-        F.count(F.lit(1)).alias("matched_terms"),
+    scored = base.crossJoin(F.broadcast(stats))
+    parts = []
+    matched = F.lit(0)
+    for i in range(len(terms)):
+        tf_i = F.col(f"__tf_{i}")
+        df_i = F.col(f"__df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+        )
+        tf_part = (tf_i * (k1 + 1.0)) / (
+            tf_i
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+        parts.append(F.when(tf_i > 0, idf * tf_part).otherwise(F.lit(0.0)))
+        matched = matched + F.when(tf_i > 0, 1).otherwise(0)
+    bm25 = parts[0]
+    for p in parts[1:]:
+        bm25 = bm25 + p
+    return (
+        scored.where(matched > 0)
+        .select(
+            F.col(id_col),
+            bm25.alias("bm25"),
+            matched.cast("long").alias("matched_terms"),
+        )
     )
