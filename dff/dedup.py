@@ -286,7 +286,15 @@ def minhash_dedup_pairs(
             F.col(id_col).alias("doc"),
             shingle_hashes_32(text_col, k).alias("__h32"),
         )
-        .select("doc", sign("__h32").alias("sig"))
+        # the when(size >= 0, ...) is ALWAYS true (shingle arrays are never
+        # NULL) — its purpose is the second reference to __h32, which stops
+        # CollapseProject from inlining the let_once shingle expression
+        # into the Python UDF's argument.  A let-bound lambda inside a UDF
+        # argument trips a Spark planner edge (UDF extraction silently
+        # skipped on the second persist of the session -> INTERNAL_ERROR
+        # "Cannot evaluate expression"); with the guard the UDF argument
+        # stays a plain attribute.
+        .select("doc", F.when(F.size("__h32") >= 0, sign("__h32")).alias("sig"))
     )
     if eager:
         sigs = sigs.persist()
@@ -295,21 +303,52 @@ def minhash_dedup_pairs(
     buckets = sigs.select(
         *carry, F.explode(lsh_bands("sig", bands, rows_per_band)).alias("bb")
     ).select(*carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    buckets = drop_hot_buckets(buckets, ["band", "bucket"], max_bucket_size)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    bucket_join = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc") < F.col("b.doc")),
-    )
     if slim_bands:
-        # two-phase: dedup slim candidate pairs first, then ONE signature
-        # join (broadcastable candidates under AQE) for verification
-        cands = bucket_join.select(
-            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
-        ).dropDuplicates(["id_a", "id_b"])
+        # r6 candidate generation (guide §2.4 — remove shuffles outright):
+        # ONE exchange keyed on (band, bucket) serves three roles that used
+        # to be three separate evaluations of the banding expression plus a
+        # two-sided self-join shuffle:
+        #   1. a count window caps hot buckets (same semantics as
+        #      drop_hot_buckets; WindowExec buffers spill, so a degenerate
+        #      bucket cannot OOM a task),
+        #   2. the groupBy on the SAME keys reuses the exchange and
+        #      collects each surviving bucket's (<= cap) doc ids,
+        #   3. in-bucket pairs are generated by a per-row array expression
+        #      (i < j combinations) instead of a self-join.
+        # Measured 4.8 s -> 1.8-2.2 s for the candidate phase at 200k docs
+        # with a bit-identical pair set.
+        w = Window.partitionBy("band", "bucket")
+        capped = (
+            buckets.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        grouped = capped.groupBy("band", "bucket").agg(
+            F.collect_list("doc").alias("ds")
+        )
+        cands = (
+            grouped.where(F.size("ds") >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ds"),
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("ds"), i + F.lit(2), F.size(F.col("ds"))
+                                ),
+                                lambda y: F.struct(
+                                    F.least(x, y).alias("id_a"),
+                                    F.greatest(x, y).alias("id_b"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
         sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("__sa"))
         sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("__sb"))
         return (
@@ -324,6 +363,15 @@ def minhash_dedup_pairs(
             )
             .where(F.col("est_jaccard") >= threshold)
         )
+    buckets = drop_hot_buckets(buckets, ["band", "bucket"], max_bucket_size)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    bucket_join = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    )
     # payload shape: verify BEFORE the pair-dedup shuffle — est_jaccard is
     # pair-intrinsic (identical from every band that produced the pair),
     # so filtering first commutes with dropDuplicates, and sub-threshold
@@ -469,17 +517,25 @@ def simhash_near_dup_pairs(
 
 
 def word_ngrams(text_col: str | Column, n: int = 3) -> Column:
-    """array<string> of word n-grams of the normalized text."""
-    words = F.split(normalize_text(text_col), " ")
-    cnt = F.size(words) - F.lit(n - 1)
-    return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    """array<string> of word n-grams of the normalized text.
+
+    The split word array is bound through :func:`dff.textops.let_once` so
+    normalize+split run once per row, not once per n-gram (the lambda
+    would otherwise re-evaluate the outer expression per element)."""
+    from .textops import let_once
+
+    def body(words: Column) -> Column:
+        cnt = F.size(words) - F.lit(n - 1)
+        return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                )
             )
         )
-    )
+
+    return let_once(F.split(normalize_text(text_col), " "), body)
 
 
 def ngram_jaccard_pairs(

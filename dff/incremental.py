@@ -117,7 +117,9 @@ class MinHashStore:
                 F.col(id_col).alias("doc"),
                 shingle_hashes_32(text_col, self.k).alias("__h32"),
             )
-            .select("doc", sign("__h32").alias("sig"))
+            # double-reference guard: see dff/dedup.py minhash_dedup_pairs
+            # (keeps the let_once shingle lambda out of the UDF argument)
+            .select("doc", F.when(F.size("__h32") >= 0, sign("__h32")).alias("sig"))
         )
 
     def _bands_of(self, sigs: DataFrame) -> DataFrame:

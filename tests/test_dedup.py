@@ -165,10 +165,16 @@ def test_arrow_signature_matches_expression(spark):
     df = _corpus(spark)
     h32 = F.transform(shingle_hashes("text", 9), lambda h: F.pmod(h, F.lit(4294967296)))
     sign = minhash_signature_arrow_udf(32, seed=7)
+    # store h32 and double-reference it so the let_once lambda stays out
+    # of the UDF argument (see minhash_dedup_pairs — Spark planner edge)
     both = df.select(
         "doc_id",
         minhash_signature("text", num_hashes=32, seed=7).alias("expr_sig"),
-        sign(h32).alias("arrow_sig"),
+        h32.alias("__h32"),
+    ).select(
+        "doc_id",
+        "expr_sig",
+        F.when(F.size("__h32") >= 0, sign("__h32")).alias("arrow_sig"),
     ).collect()
     for r in both:
         assert list(r["expr_sig"]) == list(r["arrow_sig"]), r["doc_id"]
