@@ -48,29 +48,31 @@ def hashing_vectorize(
     """
     if dim < 2:
         raise ValueError("dim must be >= 2")
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), pattern)).alias("term"),
-    ).where(F.col("term") != "")
-    bucket = F.pmod(F.xxhash64("term"), F.lit(dim)).cast("int")
-    sign = (
-        F.when(F.pmod(F.xxhash64("term", F.lit(1)), F.lit(2)) == 0, 1.0).otherwise(
-            -1.0
+
+    # r6 realization — MAP-ONLY, zero shuffles (guide §2.4): a document's
+    # tokens live in its own row, so the whole vector is a per-row
+    # computation.  Token bucket/sign hashing stays JVM-side (xxhash64 via
+    # ``transform`` over the split array); the dense scatter is one numpy
+    # ``bincount`` per row inside an Arrow-batched UDF.  The old plan
+    # shuffled every (doc, bucket) cell through groupBy(doc, bucket) ->
+    # groupBy(doc) -> anti-join for empty docs — two full exchanges plus a
+    # scan-sized anti join, none of which the computation needs.  Summing
+    # ±1.0 in float64 is exact, so the result is bit-identical.
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), pattern), lambda t: t != ""
+    )
+    bucket_arr = F.transform(
+        toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)).cast("int")
+    )
+    sign_arr = (
+        F.transform(
+            toks,
+            lambda t: F.when(
+                F.pmod(F.xxhash64(t, F.lit(1)), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0),
         )
         if signed
-        else F.lit(1.0)
-    )
-    cells = (
-        toks.select(id_col, bucket.alias("bucket"), sign.alias("s"))
-        .groupBy(id_col, "bucket")
-        .agg(F.sum("s").alias("v"))
-    )
-    pairs = cells.groupBy(id_col).agg(
-        F.collect_list(F.struct("bucket", "v")).alias("__e")
-    ).select(
-        id_col,
-        F.col("__e.bucket").alias("__b"),
-        F.col("__e.v").alias("__v"),
+        else F.transform(toks, lambda t: F.lit(1.0))
     )
 
     import numpy as np
@@ -83,29 +85,36 @@ def hashing_vectorize(
     # stringifies them and pandas_udf's signature inference rejects that
     @pandas_udf("array<double>")
     def _scatter(bs, vs):
+        zeros = np.zeros(dim, dtype=np.float64)
         out = []
         for b, v in zip(bs, vs):
-            a = np.zeros(dim, dtype=np.float64)
-            if b is not None and len(b):
-                a[np.asarray(b, dtype=np.int64)] = np.asarray(
-                    v, dtype=np.float64
-                )
-                if do_norm:
-                    n = np.linalg.norm(a)
-                    if n > 0:
-                        a /= n
+            if b is None or len(b) == 0:
+                out.append(zeros)
+                continue
+            a = np.bincount(
+                np.asarray(b, dtype=np.int64),
+                weights=np.asarray(v, dtype=np.float64),
+                minlength=dim,
+            )
+            if do_norm:
+                n = np.linalg.norm(a)
+                if n > 0:
+                    a = a / n
             out.append(a)
         return pd.Series(out)
 
-    out = pairs.withColumn("__vec", _scatter("__b", "__v")).drop("__b", "__v")
-    # docs with zero tokens never reach `cells`; re-attach them as zeros
-    zeros = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda _: F.lit(0.0))
-    empty = (
-        docs.select(id_col)
-        .join(pairs.select(id_col), id_col, "left_anti")
-        .withColumn("__vec", zeros)
-    )
-    return (
-        out.select(id_col, F.col("__vec").alias("embedding"))
-        .unionByName(empty.select(id_col, F.col("__vec").alias("embedding")))
+    # store the arrays, then double-reference them so the lambda-bearing
+    # expressions stay OUT of the UDF argument (CollapseProject would
+    # otherwise inline them — see dff/dedup.py minhash_dedup_pairs for the
+    # Spark planner edge this avoids)
+    return docs.select(
+        F.col(id_col), bucket_arr.alias("__b"), sign_arr.alias("__s")
+    ).select(
+        id_col,
+        F.when(
+            # always-true guard (NULL-array size coalesced): its purpose is
+            # the second reference to __b, not filtering
+            F.coalesce(F.size("__b"), F.lit(-1)) >= F.lit(-1),
+            _scatter("__b", "__s"),
+        ).alias("embedding"),
     )
