@@ -69,23 +69,33 @@ def semantic_dedup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    cells = _assign_cells(df, id_col, emb_col, n_centroids)
-    return _verdicts_from_cells(cells, id_col, threshold, max_cell_size)
+    cells, idx = _assign_cells(df, id_col, emb_col, n_centroids)
+    verdicts = _verdicts_from_cells(cells, id_col, threshold, max_cell_size)
+    # r6 (ADVICE r05): materialize the verdicts (localCheckpoint stores
+    # the small (id, cell, flags) rows OUTSIDE the CacheManager, so the
+    # blocks are reclaimed when the result is garbage-collected), then
+    # release the big persisted embedding assignment immediately — it used
+    # to leak executor cache for the lifetime of the session.
+    verdicts = verdicts.localCheckpoint(eager=True)
+    idx.unpersist()
+    return verdicts
 
 
 def _assign_cells(
     df: DataFrame, id_col: str, emb_col: str, n_centroids: int
-) -> DataFrame:
+) -> tuple[DataFrame, "object"]:
     """One cell assignment, PERSISTED: verdict derivation reads it at
     least three times (size agg, in-cell pass, final join) and the
     violations gate adds a self-join — without the persist each consumer
-    re-runs the Arrow assignment UDF over the full scan."""
+    re-runs the Arrow assignment UDF over the full scan.  Returns the
+    assignment frame AND the index so callers can unpersist it once their
+    result is materialized (ADVICE r05: the cache used to leak)."""
     idx = build_ivf_index(
         df, n_centroids, item_id=id_col, emb=emb_col, persist=True
     )
     return idx.assigned.select(
         F.col("item_id").alias("__id"), F.col("i_emb").alias("__emb"), "cell"
-    )
+    ), idx
 
 
 def _verdicts_from_cells(
@@ -160,7 +170,7 @@ def semantic_dedup_violations(
     not violations.  Must be empty on any input; cross-engine the oracle
     is the empty set (cells are engine-internal — the invariant-twin
     pattern used for IVF/HLL gates)."""
-    cells = _assign_cells(df, id_col, emb_col, n_centroids)
+    cells, idx = _assign_cells(df, id_col, emb_col, n_centroids)
     verdicts = _verdicts_from_cells(cells, id_col, threshold, max_cell_size)
     x, y = cells.alias("x"), cells.alias("y")
     max_earlier = (
@@ -186,8 +196,13 @@ def semantic_dedup_violations(
     )
     bad_kept = F.col("kept") & ~F.col("cell_capped") & clearly_dup
     bad_dropped = ~F.col("kept") & clearly_unique
-    return joined.where(bad_kept | bad_dropped).select(
+    out = joined.where(bad_kept | bad_dropped).select(
         F.col("__id").alias(id_col),
         "kept",
         F.col("__maxc").alias("max_earlier_cosine"),
     )
+    # materialize (tiny — must be empty on any valid input), then release
+    # the persisted embedding assignment (ADVICE r05 cache leak)
+    out = out.localCheckpoint(eager=True)
+    idx.unpersist()
+    return out

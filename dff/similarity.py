@@ -406,9 +406,17 @@ def build_ivf_index(
     regardless of table size; only the final centroid matrix ships to
     executors inside the Arrow-batched assignment UDF.
     """
+    # r6 (VERDICT r05 #3): the sample is now FULLY hash-defined — the old
+    # hash-filter + bare ``limit`` took whatever partitions responded
+    # first, so trained centroids could vary across layouts/runs.  The
+    # orderBy(hash, id) + limit plans as TakeOrderedAndProject (per-
+    # partition top-n + driver merge, no full sort), so cost stays
+    # bounded by the sample size regardless of table size.
+    sample_h = F.xxhash64(F.col("_id"), F.lit("ivf"))
     sample_rows = (
         items.select(F.col(item_id).alias("_id"), F.col(emb).cast("array<double>").alias("_e"))
         .where(F.pmod(F.xxhash64(F.col("_id"), F.lit("ivf")), F.lit(997)) < F.lit(512))
+        .orderBy(sample_h.asc(), F.col("_id").asc())
         .limit(max(n_centroids * 64, 1024))
         .collect()
     )

@@ -193,3 +193,22 @@ def test_ivf_incremental_add_matches_rebuild_full_probe(spark, tmp_path):
     assert loaded.assigned.count() == items.count()
     disk = sorted(map(tuple, loaded.query(queries, k=5, nprobe=8).collect()))
     assert [t[:2] for t in disk] == [t[:2] for t in got]
+
+
+def test_ivf_training_sample_is_partition_invariant(spark):
+    """r6 (VERDICT r05 #3): the centroid training sample is fully
+    hash-defined — building the index from differently-partitioned
+    identical data must train IDENTICAL centroids and assign identical
+    cells (the old hash-filter + bare limit took whatever partitions
+    responded first)."""
+    import numpy as np
+
+    from dff.similarity import build_ivf_index
+
+    items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = build_ivf_index(items, n_centroids=4)
+    b = build_ivf_index(items.repartition(17), n_centroids=4)
+    assert np.array_equal(a.centroids, b.centroids)
+    cells_a = sorted(map(tuple, a.assigned.select("item_id", "cell").collect()))
+    cells_b = sorted(map(tuple, b.assigned.select("item_id", "cell").collect()))
+    assert cells_a == cells_b
