@@ -213,25 +213,37 @@ def asof_join_skewed(
     rb = right.withColumn("__bkt", bkt(right, ts_col))
     lb = left.withColumn("__bkt", bkt(left, ts_col))
 
-    # (2) per-bucket last right row; (3) seed = running last shifted by one
+    # (2) per-bucket last right row; (3) each summary SEEDS every bucket
+    # up to (and including) the next non-empty right bucket: for a bucket
+    # j with no earlier in-bucket right row, the newest right row strictly
+    # before j is exactly the last row of the latest non-empty right
+    # bucket b < j — so explode each summary over (b, next_b], capped at
+    # the left side's global max bucket (no left row can need a seed
+    # beyond it).  r6 rework: the old realization enumerated the DISTINCT
+    # (key, bucket) set of BOTH sides (a union+distinct over every row)
+    # and ran running-last + lag windows over it; the lead+explode over
+    # the tiny summary set removes that full-size exchange and two window
+    # passes — identical seed placement by construction.
     summaries = rb.groupBy(*on, "__bkt").agg(
         F.max_by(rstruct, ordstruct).alias("__r")
     )
-    buckets = (
-        lb.select(*on, "__bkt").union(rb.select(*on, "__bkt")).distinct()
+    lmax = lb.agg(F.max("__bkt").alias("__gmax"))
+    w_next = Window.partitionBy(*on).orderBy(F.col("__bkt").asc())
+    seed_end = F.least(
+        F.coalesce(F.lead("__bkt").over(w_next), F.col("__gmax")),
+        F.col("__gmax"),
     )
-    w_run = Window.partitionBy(*on).orderBy(F.col("__bkt").asc())
     seeds = (
-        buckets.join(summaries, [*on, "__bkt"], "left")
-        .withColumn(
-            "__run",
-            F.last("__r", ignorenulls=True).over(
-                w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
+        summaries.crossJoin(F.broadcast(lmax))
+        .withColumn("__end", seed_end)
+        .where(F.col("__end") >= F.col("__bkt") + 1)
+        .select(
+            *on,
+            F.explode(
+                F.sequence(F.col("__bkt") + 1, F.col("__end"))
+            ).alias("__bkt"),
+            "__r",
         )
-        .withColumn("__seed", F.lag("__run").over(w_run))
-        .where(F.col("__seed").isNotNull())
-        .select(*on, "__bkt", F.col("__seed").alias("__r"))
     )
 
     # (4) union + in-bucket ordered window fill (asof_join's core, keyed
