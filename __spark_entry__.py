@@ -288,15 +288,29 @@ def q_topk(spark, sf_dir):
 
 
 def q_window_topk_per_group(spark, sf_dir):
-    """Window row_number: most expensive order per customer (top-1/group)."""
+    """Most expensive order per customer (top-1/group).
+
+    r6 realization: ``max_by`` with a (price, -orderkey) ordering struct —
+    a sort-free hash aggregate with map-side partials, replacing the
+    window row_number plan whose per-partition Sort of every row was the
+    entire cost (guide §2.3 "aggregate before you shuffle"; the window
+    rank pattern itself remains exercised by tfidf_top_terms /
+    two_stage_topk / the dedup windows).  Identical rows: struct ordering
+    compares price first (NULLs sort below any value, matching DESC NULLS
+    LAST) and breaks ties on the SMALLEST orderkey via the negated key."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    best = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"),
+        F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")),
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        o.groupBy("o_custkey")
+        .agg(best.alias("__best"))
+        .select(
+            "o_custkey",
+            F.col("__best.o_orderkey").alias("o_orderkey"),
+            F.col("__best.o_totalprice").alias("o_totalprice"),
+        )
     )
 
 
