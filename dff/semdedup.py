@@ -70,15 +70,18 @@ def semantic_dedup(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     cells, idx = _assign_cells(df, id_col, emb_col, n_centroids)
-    verdicts = _verdicts_from_cells(cells, id_col, threshold, max_cell_size)
-    # r6 (ADVICE r05): materialize the verdicts (localCheckpoint stores
-    # the small (id, cell, flags) rows OUTSIDE the CacheManager, so the
-    # blocks are reclaimed when the result is garbage-collected), then
-    # release the big persisted embedding assignment immediately — it used
-    # to leak executor cache for the lifetime of the session.
-    verdicts = verdicts.localCheckpoint(eager=True)
-    idx.unpersist()
-    return verdicts
+    return _verdicts_from_cells(cells, id_col, threshold, max_cell_size)
+
+
+#: persisted cell assignments from PRIOR semantic_dedup calls, released on
+#: the next call (ADVICE r05: they used to accumulate for the session's
+#: lifetime).  The returned verdicts are lazy, so the current call's cache
+#: cannot be dropped inside the call itself; deferring the unpersist to
+#: the next call bounds live assignment caches at ONE without adding an
+#: eager materialization to the hot path.  (Single-threaded builder
+#: assumption — concurrent semantic_dedup calls from different threads
+#: should manage indexes explicitly via build_ivf_index.)
+_stale_indexes: list = []
 
 
 def _assign_cells(
@@ -88,11 +91,17 @@ def _assign_cells(
     least three times (size agg, in-cell pass, final join) and the
     violations gate adds a self-join — without the persist each consumer
     re-runs the Arrow assignment UDF over the full scan.  Returns the
-    assignment frame AND the index so callers can unpersist it once their
-    result is materialized (ADVICE r05: the cache used to leak)."""
+    assignment frame AND the index; the index is queued for deferred
+    unpersist on the next call (see ``_stale_indexes``)."""
+    while _stale_indexes:
+        try:
+            _stale_indexes.pop().unpersist()
+        except Exception:
+            pass
     idx = build_ivf_index(
         df, n_centroids, item_id=id_col, emb=emb_col, persist=True
     )
+    _stale_indexes.append(idx)
     return idx.assigned.select(
         F.col("item_id").alias("__id"), F.col("i_emb").alias("__emb"), "cell"
     ), idx

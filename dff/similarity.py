@@ -408,18 +408,38 @@ def build_ivf_index(
     """
     # r6 (VERDICT r05 #3): the sample is now FULLY hash-defined — the old
     # hash-filter + bare ``limit`` took whatever partitions responded
-    # first, so trained centroids could vary across layouts/runs.  The
-    # orderBy(hash, id) + limit plans as TakeOrderedAndProject (per-
-    # partition top-n + driver merge, no full sort), so cost stays
-    # bounded by the sample size regardless of table size.
+    # first, so trained centroids could vary across layouts/runs.  Two
+    # slim passes keep the cost bounded: (1) orderBy(hash, id) + limit on
+    # the ID COLUMN ONLY (plans as TakeOrderedAndProject — per-partition
+    # top-n of 16-byte rows, no full sort, no embeddings through the
+    # driver merge), then (2) fetch exactly the sampled ids' embeddings.
+    n_sample = max(n_centroids * 64, 1024)
     sample_h = F.xxhash64(F.col("_id"), F.lit("ivf"))
-    sample_rows = (
-        items.select(F.col(item_id).alias("_id"), F.col(emb).cast("array<double>").alias("_e"))
-        .where(F.pmod(F.xxhash64(F.col("_id"), F.lit("ivf")), F.lit(997)) < F.lit(512))
+    id_rows = (
+        items.select(F.col(item_id).alias("_id"))
+        .where(F.pmod(sample_h, F.lit(997)) < F.lit(512))
         .orderBy(sample_h.asc(), F.col("_id").asc())
-        .limit(max(n_centroids * 64, 1024))
+        .limit(n_sample)
         .collect()
     )
+    ids = [r["_id"] for r in id_rows]
+    order = {v: i for i, v in enumerate(ids)}
+    spark = items.sparkSession
+    id_df = spark.createDataFrame(
+        [(v,) for v in ids], items.select(F.col(item_id).alias("_id")).schema
+    )
+    # broadcast semi join, NOT isin: thousands of literals in an In
+    # expression make every re-plan pay ~1s of driver analysis/codegen
+    sample_rows = (
+        items.select(
+            F.col(item_id).alias("_id"),
+            F.col(emb).cast("array<double>").alias("_e"),
+        )
+        .join(F.broadcast(id_df), "_id", "left_semi")
+        .collect()
+    )
+    # k-means init picks rows by position: keep the hash order stable
+    sample_rows.sort(key=lambda r: order[r["_id"]])
     sample = np.array([r["_e"] for r in sample_rows], dtype=np.float64)
     if len(sample) < n_centroids:  # tiny tables: fall back to first-k rows
         cent_rows = (
