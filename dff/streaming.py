@@ -439,10 +439,12 @@ _NO_ROW_CHANGE_OPS = {
     "set-partition-spec", "rename-column", "drop-column", "add-column",
     "widen-column", "branch", "add-constraint", "drop-constraint",
 }
-# Row-neutral commits that change the READ schema: a batch is delivered
-# under its range's until-schema, so appends on either side of one of
-# these must land in separate batches (unioning a pre-rename scan with a
-# post-rename scan would mix column names).
+# Row-neutral commits that change the READ schema: appends on either
+# side of one of these must land in separate batches (unioning a
+# pre-rename scan with a post-rename scan would mix column names).  A
+# chunk CLOSED by a schema change delivers its appends under each
+# append's own pre-change schema; only the NEXT chunk reads under the
+# new schema (pinned by test_stream_from_table_rename_splits_batches).
 _SCHEMA_CHANGE_OPS = {
     "rename-column", "drop-column", "add-column", "widen-column",
 }
@@ -567,6 +569,18 @@ def stream_from_table(
         _os.replace(tmp, cursor_path)
 
     pending = [v for v in sorted(ops) if v > cursor]
+    if cursor == -1 and pending and pending[0] > 0 and (pending[0] - 1) not in ops:
+        # r6 (ADVICE r05): a FRESH consumer on a table whose earliest
+        # snapshots were expired has no retained baseline to scan_added
+        # from — fail with the re-sync recipe instead of a raw
+        # FileNotFoundError from the missing snapshot file.
+        raise ValueError(
+            f"cannot bootstrap a fresh consumer: the earliest retained "
+            f"snapshot v{pending[0]} has no retained baseline (earlier "
+            "snapshots expired) — deliver an initial full snapshot "
+            "yourself (process Table(...).scan(spark), then write "
+            '{"version": <tip>} as the cursor) and resume incrementally'
+        )
     batches = 0
     while pending:
         # one batch = a bounded, homogeneous run of versions

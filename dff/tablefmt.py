@@ -3440,6 +3440,26 @@ class Table:
                     "re-fork and re-apply"
                 )
             else:
+                # r6 (ADVICE r05): the branch validated its rows against
+                # ITS OWN constraint set (fork-time copy + branch-added);
+                # a constraint added on main after the fork was never
+                # enforced against the branch's staged rows, and the
+                # published snapshot would inherit main's constraint set
+                # — smuggling unchecked rows past an active gate.  Same
+                # rule as the append/merge rebase guard.
+                tip_checks = set(
+                    (tip.get("check_constraints") or {}).items()
+                )
+                br_checks = set(
+                    (bsnap.get("check_constraints") or {}).items()
+                )
+                if not (tip_checks <= br_checks):
+                    raise CommitConflict(
+                        f"branch {name!r} was not validated against check "
+                        "constraint(s) added on main since the fork — "
+                        "re-fork and re-audit (or re-validate the branch "
+                        "against the tip's constraints) before publishing"
+                    )
                 have = set(tip["manifests"])
                 manifests = list(tip["manifests"]) + [
                     m for m in added if m not in have

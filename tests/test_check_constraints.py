@@ -197,3 +197,33 @@ def test_concurrent_constraint_add_defeats_rebase(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(Table, "_materialize", hooked_drop)
     t.append(spark.createDataFrame([(4, "go", 7)], schema))
     assert t.scan(spark).count() == 3
+
+
+def test_publish_refuses_constraint_added_on_main_after_fork(spark, tmp_path):
+    """r6 (ADVICE r05): a constraint added to main AFTER a branch fork was
+    never enforced against branch-staged rows; publishing must refuse the
+    rebase instead of smuggling a violating row past the active gate."""
+    t, schema = _tbl(spark, tmp_path)
+    t.create_branch("wap")
+    t.add_check_constraint(spark, "n_positive", "n > 0")
+    br = Table(t.root, branch="wap")
+    # the branch's fork-time constraint set is empty, so this append passes
+    br.append(spark.createDataFrame([(3, "rs", -5)], schema))
+    with pytest.raises(CommitConflict, match="check constraint"):
+        t.publish_branch("wap")
+    # main is untouched and the gate still holds
+    assert t.scan(spark).count() == 2
+    assert t.check_constraints() == {"n_positive": "n > 0"}
+
+
+def test_publish_ok_when_branch_enforced_the_tip_constraints(spark, tmp_path):
+    """Control: main advancing WITHOUT new constraints still rebases, and a
+    branch that enforced (inherited) the constraint keeps publishing."""
+    t, schema = _tbl(spark, tmp_path)
+    t.add_check_constraint(spark, "n_positive", "n > 0")
+    t.create_branch("wap")
+    br = Table(t.root, branch="wap")
+    br.append(spark.createDataFrame([(3, "rs", 5)], schema))
+    t.append(spark.createDataFrame([(4, "c", 7)], schema))  # main advances
+    t.publish_branch("wap")
+    assert t.scan(spark).count() == 4
