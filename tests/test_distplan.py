@@ -147,3 +147,48 @@ def test_rewrite_manifests_preserves_everything(spark, tmp_path):
     assert sorted(
         (e["path"], e["rows"], e.get("seq")) for e in t.entries()
     ) == before
+
+
+def test_auto_route_fires_above_threshold(spark, tbl, monkeypatch):
+    """r6 (VERDICT r05 #2): scan/scan_file_count/_split_entries route
+    through plan_files_distributed above the manifest-size threshold,
+    with results identical to the driver loop."""
+    import dff.tablefmt as tf
+
+    filters = [("id", "between", (200, 900))]
+    driver_rows = sorted(
+        map(tuple, tbl.scan(spark, filters).select("id", "v", "s").collect())
+    )
+    driver_count = tbl.scan_file_count(filters)
+    driver_hit, driver_keep = tbl._split_entries(filters, tbl._latest_version())
+
+    calls = {"n": 0}
+    orig = tf.Table.plan_files_distributed
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(tf.Table, "plan_files_distributed", counting)
+    monkeypatch.setattr(tf, "_DISTPLAN_MIN_MANIFEST_BYTES", 0)
+
+    auto_rows = sorted(
+        map(tuple, tbl.scan(spark, filters).select("id", "v", "s").collect())
+    )
+    assert calls["n"] >= 1  # the switch fired
+    assert auto_rows == driver_rows
+    assert tbl.scan_file_count(filters) == driver_count
+    hit, keep = tbl._split_entries(filters, tbl._latest_version())
+    assert sorted(e["path"] for e in hit) == sorted(
+        e["path"] for e in driver_hit
+    )
+    assert sorted(e["path"] for e in keep) == sorted(
+        e["path"] for e in driver_keep
+    )
+    # below the threshold nothing routes distributed
+    monkeypatch.setattr(tf, "_DISTPLAN_MIN_MANIFEST_BYTES", 10**12)
+    calls["n"] = 0
+    assert sorted(
+        map(tuple, tbl.scan(spark, filters).select("id", "v", "s").collect())
+    ) == driver_rows
+    assert calls["n"] == 0
