@@ -3061,28 +3061,78 @@ def q_mixture_summary_stats(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION PLAN (the driver's correctness gate checks only the FIRST
     # 50 entries of this dict each round):
-    #   r1-r4 accumulated green rows for 60 of the 96 registered queries
-    #   but left 36 never driver-checked (VERDICT r04 #1).  Round 5 front-
-    #   loads exactly those 36, plus the two hash-fixed oracles
-    #   (json_extract_stats / batch_sessions — DuckDB HUGEINT casts), plus
-    #   the two new queries (pca_projection_violations /
-    #   lineage_trend_violations), plus the table-format gates
-    #   (time-travel / COW delete / MERGE upsert / incremental scan_added),
-    #   plus a core sample spanning the engine's pillars (rule DAG, skew
-    #   agg, dedup invariants, as-of).  Everything after position 50
-    #   already has a green CORRECTNESS row on record (r3 or r4), except
-    #   entries marked "new r5 late" below (added after the window filled;
-    #   locally green under tools/check_oracle.py; rotate them in next
-    #   round): day-partition / WAP / OPTIMIZE / MOR delete+merge /
-    #   distributed plan / spec evolution / SCHEMA evolution / change feed
-    #   / CDC replication / type widening / UPDATE WHERE / conditional
-    #   MERGE / bloom lookup / CHECK constraints / streaming source /
-    #   rollback+retention / corpus mixture / sequence packing / semantic
-    #   dedup.  Future rounds: rotate
-    #   any entry whose latest green row is >2 rounds old into the window.
+    #   Round 6 front-loads the 22 r5-late oracle-paired queries that had
+    #   never had a driver CORRECTNESS row (17 table-format gates + 5
+    #   training-data gates — VERDICT r05 "Next round" #1), followed by a
+    #   28-query core re-sample biased toward the operators whose
+    #   INTERNALS this optimization round changed (dedup_exact /
+    #   shingle+ngram lambda binding / minhash LSH candidates /
+    #   hashing_vectorize / bm25 / lang_id / window_topk / as-of seeds /
+    #   IVF sample) so the driver re-proves them after the surgery.
+    #   Everything after position 50 has a green CORRECTNESS row on
+    #   record (r3/r4/r5).  Future rounds: rotate any entry whose latest
+    #   green row is >2 rounds old into the window.
     return {
-        # --- 36 never-driver-checked (r4 additions + rotated-out r3) ----
+        # --- r6 ROTATION: the 22 oracle-paired queries that had never
+        # had a driver CORRECTNESS row (r5-late additions past the
+        # 50-entry window; VERDICT r05 "Next round" #1) move to the
+        # front.  All 22 verified green under tools/check_oracle.py this
+        # round before rotating.  Everything displaced past position 50
+        # has a green CORRECTNESS_r05 row on record. ------------------
+        "table_day_partition": q_table_day_partition,
+        "table_wap_publish": q_table_wap_publish,
+        "table_optimize_cluster": q_table_optimize_cluster,
+        "table_mor_delete": q_table_mor_delete,
+        "table_mor_merge": q_table_mor_merge,
+        "table_distributed_plan": q_table_distributed_plan,
+        "table_spec_evolution": q_table_spec_evolution,
+        "table_schema_evolution": q_table_schema_evolution,
+        "table_change_feed": q_table_change_feed,
+        "cdc_replication": q_cdc_replication,
+        "table_widen_type": q_table_widen_type,
+        "table_update_where": q_table_update_where,
+        "table_merge_conditional": q_table_merge_conditional,
+        "table_bloom_lookup": q_table_bloom_lookup,
+        "table_check_constraint": q_table_check_constraint,
+        "table_stream_source": q_table_stream_source,
+        "table_rollback_retention": q_table_rollback_retention,
+        "corpus_mixture": q_corpus_mixture,
+        "mixture_summary_stats": q_mixture_summary_stats,
+        "sequence_packing": q_sequence_packing,
+        "context_fill_stats": q_context_fill_stats,
+        "semantic_dedup_violations": q_semantic_dedup_violations,
+        # --- core re-sample (28 slots): r5-touched operators + engine
+        # pillars whose internals this optimization round changed
+        # (dedup / corpus / text / vectorize / asof / window / bm25) ---
+        "training_corpus_pipeline": q_training_corpus_pipeline,
+        "chunk_documents": q_chunk_documents,
+        "contamination": q_contamination,
+        "repetition_scores": q_repetition_scores,
+        "ngram_jaccard_exact": q_ngram_jaccard_exact,
+        "ngram_containment_exact": q_ngram_containment_exact,
+        "dup_clusters": q_dup_clusters,
+        "dedup_survivors": q_dedup_survivors,
+        "best_survivors": q_best_survivors,
+        "minhash_precision_violations": q_minhash_precision_violations,
+        "simhash_precision_violations": q_simhash_precision_violations,
+        "incremental_dedup_violations": q_incremental_dedup_violations,
+        "hashing_vector_violations": q_hashing_vector_violations,
+        "bm25_scores": q_bm25_scores,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "word_entropy": q_word_entropy,
+        "source_profile": q_source_profile,
+        "window_topk_per_group": q_window_topk_per_group,
+        "asof_join_skewed": q_asof_join_skewed,
+        "asof_join": q_asof_join,
+        "ivf_full_probe": q_ivf_full_probe,
         "ivf_incremental_full_probe": q_ivf_incremental_full_probe,
+        "ivf_consistency_violations": q_ivf_consistency_violations,
+        "embedding_near_dups": q_embedding_near_dups,
+        "rule_dag_verdict": q_rule_dag_verdict,
+        "pii_redaction": q_pii_redaction,  # position 50
+        # ---------------- position 51+ (driver-green r3/r4/r5) ---------
         "session_counts": q_session_counts,
         "stream_interval_join": q_stream_interval_join,
         "row_attribution": q_row_attribution,
@@ -3107,21 +3157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "weighted_sample": q_weighted_sample,
         "snapshot_diff": q_snapshot_diff,
-        "repetition_scores": q_repetition_scores,
-        "contamination": q_contamination,
-        "chunk_documents": q_chunk_documents,
-        "training_corpus_pipeline": q_training_corpus_pipeline,
-        "pii_redaction": q_pii_redaction,
         "quota_sample": q_quota_sample,
         "weighted_sample_per_group": q_weighted_sample_per_group,
-        "ngram_containment_exact": q_ngram_containment_exact,
-        "dup_clusters": q_dup_clusters,
-        "dedup_survivors": q_dedup_survivors,
-        "best_survivors": q_best_survivors,
-        # --- 2 hash-fixed this round (HUGEINT->BIGINT oracle casts) -----
         "json_extract_stats": q_json_extract_stats,
         "batch_sessions": q_batch_sessions,
-        # --- 4 new this round --------------------------------------------
         "pca_projection_violations": q_pca_projection_violations,
         "lineage_trend_violations": q_lineage_trend_violations,
         "table_time_travel": q_table_time_travel,
@@ -3133,36 +3172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "cdc_apply": q_cdc_apply,
         "stats_prune_validation": q_stats_prune_validation,
-        "table_partition_prune": q_table_partition_prune,  # position 50
-        # ---- new r5 late (past the 50-entry window; locally green under
-        # tools/check_oracle.py; rotate into the window next round) ------
-        "table_day_partition": q_table_day_partition,
-        "table_wap_publish": q_table_wap_publish,
-        "table_optimize_cluster": q_table_optimize_cluster,
-        "table_mor_delete": q_table_mor_delete,
-        "table_mor_merge": q_table_mor_merge,
-        "table_distributed_plan": q_table_distributed_plan,
-        "table_spec_evolution": q_table_spec_evolution,
-        "table_schema_evolution": q_table_schema_evolution,
-        "table_change_feed": q_table_change_feed,
-        "cdc_replication": q_cdc_replication,
-        "table_widen_type": q_table_widen_type,
-        "table_update_where": q_table_update_where,
-        "table_merge_conditional": q_table_merge_conditional,
-        "table_bloom_lookup": q_table_bloom_lookup,
-        "table_check_constraint": q_table_check_constraint,
-        "table_stream_source": q_table_stream_source,
-        "table_rollback_retention": q_table_rollback_retention,
-        # --- core pillar (green r1-r4; also exercised by entry()) --------
-        "rule_dag_verdict": q_rule_dag_verdict,
+        "table_partition_prune": q_table_partition_prune,
+        # --- core pillar (green r1-r5; also exercised by entry()) --------
         "rule_dag_score_fanout": q_rule_dag_score_fanout,
         "stats_onepass": q_stats_onepass,
         "salted_stats": q_salted_stats,
         "dup_keys": q_dup_keys,
-        "asof_join_skewed": q_asof_join_skewed,
-        "minhash_precision_violations": q_minhash_precision_violations,
-        "incremental_dedup_violations": q_incremental_dedup_violations,
-        # ---------------- position 51+ (driver-green in r3/r4) -----------
         "psi_drift": q_psi_drift,
         "ann_bruteforce": q_ann_bruteforce,
         "pricing_summary": q_pricing_summary,
@@ -3177,7 +3192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_anti_big_dim": q_left_anti_big_dim,
         "left_semi": q_left_semi,
         "topk": q_topk,
-        "window_topk_per_group": q_window_topk_per_group,
         "exact_percentiles": q_exact_percentiles,
         "sort_limit": q_sort_limit,
         "distinct": q_distinct,
@@ -3187,43 +3201,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_rollup": q_monthly_rollup,
         "event_gaps": q_event_gaps,
         "rolling_aggs": q_rolling_aggs,
-        "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_nearest": q_asof_join_nearest,
         "range_join": q_range_join,
         "interval_overlap_join": q_interval_overlap_join,
         "sha256": q_sha256,
-        "token_counts": q_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "hashing_vector_violations": q_hashing_vector_violations,
-        "bm25_scores": q_bm25_scores,
-        "source_profile": q_source_profile,
         "js_drift": q_js_drift,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "word_entropy": q_word_entropy,
-        "simhash_precision_violations": q_simhash_precision_violations,
-        "ivf_full_probe": q_ivf_full_probe,
-        "ivf_consistency_violations": q_ivf_consistency_violations,
-        "embedding_near_dups": q_embedding_near_dups,
         "stream_window_counts": q_stream_window_counts,
         "multimodal_bytes": q_multimodal_bytes,
         "tdigest_accuracy_violations": q_tdigest_accuracy_violations,
-        "ngram_jaccard_exact": q_ngram_jaccard_exact,
         # rows-only (engine-specific hash primitives: xxhash64 shingles /
         # SimHash bits / trained IVF cells have no cross-engine twin); each
         # is covered by an oracle-checked invariant twin above
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ivf_ann": q_ivf_ann,
-        # round-5-late additions (past the driver window; oracle-paired,
-        # local-mirror evidence): token-budget corpus mixture sampling +
-        # fixed-context sequence packing
-        "corpus_mixture": q_corpus_mixture,
-        "mixture_summary_stats": q_mixture_summary_stats,
-        "sequence_packing": q_sequence_packing,
-        "context_fill_stats": q_context_fill_stats,
-        "semantic_dedup_violations": q_semantic_dedup_violations,
     }
 
 
