@@ -410,34 +410,41 @@ def build_ivf_index(
     # hash-filter + bare ``limit`` took whatever partitions responded
     # first, so trained centroids could vary across layouts/runs.  Two
     # slim passes keep the cost bounded: (1) orderBy(hash, id) + limit on
-    # the ID COLUMN ONLY (plans as TakeOrderedAndProject — per-partition
-    # top-n of 16-byte rows, no full sort, no embeddings through the
-    # driver merge), then (2) fetch exactly the sampled ids' embeddings.
+    # the (id, hash) COLUMNS ONLY (plans as TakeOrderedAndProject —
+    # per-partition top-n of 24-byte rows, no full sort, no embeddings
+    # through the driver merge), then (2) fetch exactly the sampled rows'
+    # embeddings by their (hash, id) BOUNDARY: the sample is the first
+    # n by (hash, id) among the filtered rows, so `h < h* or (h = h* and
+    # id <= id*)` selects precisely that set (ids are unique by contract)
+    # — a pure pushed-down filter, no local-relation build, no broadcast
+    # hash table per call (measured 0.52 s -> ~0.3 s per build at 100k).
     n_sample = max(n_centroids * 64, 1024)
     sample_h = F.xxhash64(F.col("_id"), F.lit("ivf"))
     id_rows = (
-        items.select(F.col(item_id).alias("_id"))
-        .where(F.pmod(sample_h, F.lit(997)) < F.lit(512))
-        .orderBy(sample_h.asc(), F.col("_id").asc())
+        items.select(F.col(item_id).alias("_id"), sample_h.alias("_h"))
+        .where(F.pmod(F.col("_h"), F.lit(997)) < F.lit(512))
+        .orderBy(F.col("_h").asc(), F.col("_id").asc())
         .limit(n_sample)
         .collect()
     )
     ids = [r["_id"] for r in id_rows]
     order = {v: i for i, v in enumerate(ids)}
-    spark = items.sparkSession
-    id_df = spark.createDataFrame(
-        [(v,) for v in ids], items.select(F.col(item_id).alias("_id")).schema
-    )
-    # broadcast semi join, NOT isin: thousands of literals in an In
-    # expression make every re-plan pay ~1s of driver analysis/codegen
-    sample_rows = (
-        items.select(
-            F.col(item_id).alias("_id"),
-            F.col(emb).cast("array<double>").alias("_e"),
+    if id_rows:
+        h_max, id_max = id_rows[-1]["_h"], id_rows[-1]["_id"]
+        boundary = (F.col("_h") < F.lit(h_max)) | (
+            (F.col("_h") == F.lit(h_max)) & (F.col("_id") <= F.lit(id_max))
         )
-        .join(F.broadcast(id_df), "_id", "left_semi")
-        .collect()
-    )
+        sample_rows = (
+            items.select(
+                F.col(item_id).alias("_id"),
+                F.col(emb).cast("array<double>").alias("_e"),
+            )
+            .withColumn("_h", F.xxhash64(F.col("_id"), F.lit("ivf")))
+            .where((F.pmod(F.col("_h"), F.lit(997)) < F.lit(512)) & boundary)
+            .collect()
+        )
+    else:
+        sample_rows = []
     # k-means init picks rows by position: keep the hash order stable
     sample_rows.sort(key=lambda r: order[r["_id"]])
     sample = np.array([r["_e"] for r in sample_rows], dtype=np.float64)
